@@ -1,0 +1,254 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM string similarity kernels.
+  *
+  * Semantics mirror the reference engine's comparison contract
+  * (`/root/reference/src/gammas/gammaCKpar.jl:59-129`): every function returns
+  * a similarity normalized to [0,1] (1 = identical), like
+  * StringDistances.jl's `compare`. The caller applies the reference's
+  * 4-digit rounding (`gammaCKpar.jl:103`) and cut_a/cut_b thresholds.
+  *
+  * All methods are static so Catalyst codegen (see expressions.scala) can
+  * call them from generated Java inside whole-stage codegen.
+  */
+object StringSim {
+
+  /** Classic Jaro similarity. Both-empty => 1.0 (StringDistances.jl
+    * convention: the distance between two empty strings is 0).
+    */
+  def jaro(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 && len2 == 0) return 1.0
+    if (len1 == 0 || len2 == 0) return 0.0
+    val maxLen = math.max(len1, len2)
+    val window = math.max(maxLen / 2 - 1, 0)
+    val m1 = new Array[Boolean](len1)
+    val m2 = new Array[Boolean](len2)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val c = s1.charAt(i)
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && c == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / len1 + m / len2 + (m - t / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler similarity: Winkler prefix boost (scaling `p`, prefix
+    * capped at 4) applied when jaro >= 0.7 (StringDistances.jl:
+    * `JaroWinkler(p, threshold=0.3, maxlength=4)`, boost when distance <=
+    * threshold). The reference's `jarowinkler` method uses p = config `w`
+    * (default 0.1).
+    */
+  def jaroWinkler(s1: String, s2: String, p: Double): Double = {
+    val j = jaro(s1, s2)
+    if (j >= 0.7) {
+      val maxPrefix = math.min(math.min(s1.length, s2.length), 4)
+      var l = 0
+      while (l < maxPrefix && s1.charAt(l) == s2.charAt(l)) l += 1
+      j + l * p * (1.0 - j)
+    } else j
+  }
+
+  /** Levenshtein edit distance (insert/delete/substitute), two-row DP. */
+  def levenshteinDist(s1: String, s2: String): Int = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0) return len2
+    if (len2 == 0) return len1
+    var prev = new Array[Int](len2 + 1)
+    var cur = new Array[Int](len2 + 1)
+    var j = 0
+    while (j <= len2) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= len1) {
+      cur(0) = i
+      val c1 = s1.charAt(i - 1)
+      j = 1
+      while (j <= len2) {
+        val cost = if (c1 == s2.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(len2)
+  }
+
+  /** Normalized Levenshtein similarity = 1 - dist / max(len); both-empty => 1. */
+  def levenshteinSim(s1: String, s2: String): Double = {
+    val maxLen = math.max(s1.length, s2.length)
+    if (maxLen == 0) 1.0
+    else 1.0 - levenshteinDist(s1, s2).toDouble / maxLen
+  }
+
+  /** Optimal String Alignment (restricted Damerau-Levenshtein: adjacent
+    * transposition, no substring edited twice).
+    */
+  def osaDist(s1: String, s2: String): Int = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0) return len2
+    if (len2 == 0) return len1
+    var prev2 = new Array[Int](len2 + 1)
+    var prev = new Array[Int](len2 + 1)
+    var cur = new Array[Int](len2 + 1)
+    var j = 0
+    while (j <= len2) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= len1) {
+      cur(0) = i
+      val c1 = s1.charAt(i - 1)
+      j = 1
+      while (j <= len2) {
+        val cost = if (c1 == s2.charAt(j - 1)) 0 else 1
+        var d = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (i > 1 && j > 1 && c1 == s2.charAt(j - 2) && s1.charAt(i - 2) == s2.charAt(j - 1))
+          d = math.min(d, prev2(j - 2) + 1)
+        cur(j) = d
+        j += 1
+      }
+      val tmp = prev2; prev2 = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(len2)
+  }
+
+  def osaSim(s1: String, s2: String): Double = {
+    val maxLen = math.max(s1.length, s2.length)
+    if (maxLen == 0) 1.0 else 1.0 - osaDist(s1, s2).toDouble / maxLen
+  }
+
+  /** Unrestricted Damerau-Levenshtein (true DL, with alphabet table). */
+  def damerauLevenshteinDist(s1: String, s2: String): Int = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0) return len2
+    if (len2 == 0) return len1
+    val inf = len1 + len2
+    val d = Array.ofDim[Int](len1 + 2, len2 + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= len1) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
+    var j = 0
+    while (j <= len2) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
+    val lastRow = new java.util.HashMap[Char, Int]()
+    i = 1
+    while (i <= len1) {
+      val c1 = s1.charAt(i - 1)
+      var lastMatchCol = 0
+      j = 1
+      while (j <= len2) {
+        val c2 = s2.charAt(j - 1)
+        val last = lastRow.getOrDefault(c2, 0)
+        val cost = if (c1 == c2) 0 else 1
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(last)(lastMatchCol) + (i - last - 1) + 1 + (j - lastMatchCol - 1)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        if (cost == 0) lastMatchCol = j
+        j += 1
+      }
+      lastRow.put(c1, i)
+      i += 1
+    }
+    d(len1 + 1)(len2 + 1)
+  }
+
+  def damerauLevenshteinSim(s1: String, s2: String): Double = {
+    val maxLen = math.max(s1.length, s2.length)
+    if (maxLen == 0) 1.0 else 1.0 - damerauLevenshteinDist(s1, s2).toDouble / maxLen
+  }
+
+  /** Hamming similarity (StringDistances.jl convention): distance = #unequal
+    * positions over the shorter length + length difference; normalized by
+    * the longer length.
+    */
+  def hammingSim(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    val maxLen = math.max(len1, len2)
+    if (maxLen == 0) return 1.0
+    val minLen = math.min(len1, len2)
+    var d = maxLen - minLen
+    var i = 0
+    while (i < minLen) {
+      if (s1.charAt(i) != s2.charAt(i)) d += 1
+      i += 1
+    }
+    1.0 - d.toDouble / maxLen
+  }
+
+  /** Ratcliff-Obershelp (gestalt pattern matching) similarity:
+    * 2 * (matched chars via recursive longest-common-substring) / (len1+len2).
+    */
+  def ratcliffObershelpSim(s1: String, s2: String): Double = {
+    val total = s1.length + s2.length
+    if (total == 0) return 1.0
+    2.0 * roMatches(s1, 0, s1.length, s2, 0, s2.length) / total
+  }
+
+  private def roMatches(s1: String, a0: Int, a1: Int, s2: String, b0: Int, b1: Int): Int = {
+    if (a0 >= a1 || b0 >= b1) return 0
+    // longest common substring in s1[a0,a1) x s2[b0,b1)
+    var bestLen = 0; var bestA = a0; var bestB = b0
+    var i = a0
+    while (i < a1) {
+      var j = b0
+      while (j < b1) {
+        if (s1.charAt(i) == s2.charAt(j)) {
+          var k = 0
+          while (i + k < a1 && j + k < b1 && s1.charAt(i + k) == s2.charAt(j + k)) k += 1
+          if (k > bestLen) { bestLen = k; bestA = i; bestB = j }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (bestLen == 0) 0
+    else bestLen +
+      roMatches(s1, a0, bestA, s2, b0, bestB) +
+      roMatches(s1, bestA + bestLen, a1, s2, bestB + bestLen, b1)
+  }
+
+  // ---- UTF8String entry points for Catalyst codegen ----
+  def jaroWinklerUTF8(a: UTF8String, b: UTF8String, p: Double): Double =
+    jaroWinkler(a.toString, b.toString, p)
+  def jaroUTF8(a: UTF8String, b: UTF8String): Double = jaro(a.toString, b.toString)
+  def levenshteinSimUTF8(a: UTF8String, b: UTF8String): Double =
+    levenshteinSim(a.toString, b.toString)
+  def osaSimUTF8(a: UTF8String, b: UTF8String): Double = osaSim(a.toString, b.toString)
+  def damerauLevenshteinSimUTF8(a: UTF8String, b: UTF8String): Double =
+    damerauLevenshteinSim(a.toString, b.toString)
+  def hammingSimUTF8(a: UTF8String, b: UTF8String): Double =
+    hammingSim(a.toString, b.toString)
+  def ratcliffObershelpSimUTF8(a: UTF8String, b: UTF8String): Double =
+    ratcliffObershelpSim(a.toString, b.toString)
+}

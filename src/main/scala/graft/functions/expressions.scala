@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the string-similarity kernels.
+  *
+  * These stay inside whole-stage codegen (each `doGenCode` emits a direct
+  * static call into [[StringSim]]), unlike Scala UDFs which break the codegen
+  * pipeline with serialization + null-boxing. They are the hot path of the
+  * engine: every candidate pair evaluates one of these per fuzzy variable
+  * (reference: `/root/reference/src/gammas/gammaCKpar.jl:103`).
+  */
+abstract class StringSimExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  /** Fully-qualified static method in [[StringSim]] taking two UTF8Strings. */
+  def staticMethod: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringSim.$staticMethod($a, $b)")
+}
+
+case class JaroWinklerSim(left: Expression, right: Expression, p: Double = 0.1)
+    extends StringSimExpression {
+  override def staticMethod: String = throw new UnsupportedOperationException
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.jaroWinklerUTF8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringSim.jaroWinklerUTF8($a, $b, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler_sim"
+}
+
+case class JaroSim(left: Expression, right: Expression) extends StringSimExpression {
+  override def staticMethod: String = "jaroUTF8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.jaroUTF8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaro_sim"
+}
+
+case class LevenshteinSim(left: Expression, right: Expression) extends StringSimExpression {
+  override def staticMethod: String = "levenshteinSimUTF8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.levenshteinSimUTF8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "levenshtein_sim"
+}
+
+case class OsaSim(left: Expression, right: Expression) extends StringSimExpression {
+  override def staticMethod: String = "osaSimUTF8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.osaSimUTF8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "osa_sim"
+}
+
+case class DamerauLevenshteinSim(left: Expression, right: Expression)
+    extends StringSimExpression {
+  override def staticMethod: String = "damerauLevenshteinSimUTF8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.damerauLevenshteinSimUTF8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "damerau_levenshtein_sim"
+}
+
+case class HammingSim(left: Expression, right: Expression) extends StringSimExpression {
+  override def staticMethod: String = "hammingSimUTF8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.hammingSimUTF8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming_sim"
+}
+
+case class RatcliffObershelpSim(left: Expression, right: Expression)
+    extends StringSimExpression {
+  override def staticMethod: String = "ratcliffObershelpSimUTF8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.ratcliffObershelpSimUTF8(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "ratcliff_obershelp_sim"
+}
+
+/** Column-level facade + SQL function registration. */
+object GraftFunctions {
+  private def col(e: Expression): Column = columnOf(e)
+  private def expr(c: Column): Expression = expressionOf(c.cast("string"))
+
+  def jaroWinklerSim(a: Column, b: Column, p: Double = 0.1): Column =
+    col(JaroWinklerSim(expr(a), expr(b), p))
+  def jaroSim(a: Column, b: Column): Column = col(JaroSim(expr(a), expr(b)))
+  def levenshteinSim(a: Column, b: Column): Column = col(LevenshteinSim(expr(a), expr(b)))
+  def osaSim(a: Column, b: Column): Column = col(OsaSim(expr(a), expr(b)))
+  def damerauLevenshteinSim(a: Column, b: Column): Column =
+    col(DamerauLevenshteinSim(expr(a), expr(b)))
+  def hammingSim(a: Column, b: Column): Column = col(HammingSim(expr(a), expr(b)))
+  def ratcliffObershelpSim(a: Column, b: Column): Column =
+    col(RatcliffObershelpSim(expr(a), expr(b)))
+
+  /** Registers SQL-callable forms, e.g. `jw_sim(a, b)` / `jw_sim(a, b, 0.1)`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def two(name: String, f: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, es => f(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jw_sim", {
+      case Seq(a, b) => JaroWinklerSim(a, b)
+      case Seq(a, b, p) =>
+        JaroWinklerSim(a, b,
+          p.eval().toString.toDouble)
+    }, "scala_udf")
+    two("jaro_sim", JaroSim)
+    two("lev_sim", LevenshteinSim)
+    two("osa_sim", OsaSim)
+    two("dl_sim", DamerauLevenshteinSim)
+    two("hamming_sim", HammingSim)
+    two("ro_sim", RatcliffObershelpSim)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive closure of above-threshold pairs into entity clusters via the
+  * alternating large-star / small-star algorithm (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) as DataFrame
+  * self-joins — the north-rule clustering stage.
+  *
+  * The reference has no clustering operator (its output is raw matched
+  * pairs); this is the scale feature that turns pairs into entities.
+  *
+  * Scale properties: each round is two shuffles (groupBy min + re-emission);
+  * converges in O(log^2 n) rounds on pathological graphs, 2-5 rounds on
+  * dedup graphs (star-like clusters). Lineage is truncated every round with
+  * localCheckpoint so the plan does not grow exponentially; at cluster scale
+  * swap in reliable checkpointing (`spark.sparkContext.setCheckpointDir` +
+  * `.checkpoint()`) for executor-loss resilience.
+  */
+object ConnectedComponents {
+
+  /** edges: two long columns (src, dst). Returns (node, component) where
+    * component = min node id reachable.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50, reliable: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    def checkpoint(df: DataFrame): DataFrame = {
+      val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+      out
+    }
+
+    // normalize: undirected, no self-loops, as (u, v)
+    var e = checkpoint(
+      edges.toDF("u", "v")
+        .filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct())
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // --- large-star: connect every neighbor larger than u to the min of
+      // N(u) u {u} ---
+      val nbrs = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = nbrs.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val large = nbrs
+        .join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct()
+      // --- small-star: connect every neighbor <= u to the min ---
+      val nbrs2 = large.select($"u", $"v").union(large.select($"v".as("u"), $"u".as("v")))
+      val smallNbrs = nbrs2.filter($"v" <= $"u")
+      val mins2 = smallNbrs.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val small = smallNbrs
+        .join(mins2, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins2.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v")
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct()
+
+      val next = checkpoint(small)
+      // convergence: the edge multiset is stable (cheap order-free checksum)
+      val oldSum = e.agg(sum(xxhash64($"u", $"v")).as("s"), count(lit(1)).as("c")).head()
+      val newSum = next.agg(sum(xxhash64($"u", $"v")).as("s"), count(lit(1)).as("c")).head()
+      converged = oldSum == newSum
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+
+    // components: every edge now points at its root (star graph)
+    val assign = e.select($"v".as("node"), $"u".as("component"))
+      .union(e.select($"u".as("node"), $"u".as("component")))
+      .groupBy($"node").agg(min($"component").as("component"))
+    assign
+  }
+
+  /** Convenience: cluster matched pairs (id_a, id_b) and return
+    * (node, component) covering every node that appears in a pair.
+    */
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    run(pairs.select(col(idA).cast("long"), col(idB).cast("long")))
+}

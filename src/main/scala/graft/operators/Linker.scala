@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ByteType
+import graft.config.{ComparisonGroup, MatchConfig, VariableSpec}
+
+/** End-to-end probabilistic linkage orchestration — the Spark-native
+  * equivalent of the reference's `fastLink(dfA, dfB, config)` lifecycle
+  * (`/root/reference/src/fastlink/fastlink.jl:14-129`):
+  *
+  *   blocked pair join -> gamma columns (codegen) -> groupBy pattern counts
+  *   -> driver EM -> broadcast stats back -> (TF adjust) -> threshold.
+  *
+  * Hierarchical (nested) comparison groups run leaf-first; each child's
+  * thresholded verdict becomes a synthetic binary gamma variable of its
+  * parent (reference `process_comparisons`/`match_and_link`,
+  * `/root/reference/src/patterns.jl:189-259`).
+  *
+  * Scale notes (100 TB design):
+  *  - The only pair-sized shuffles are the blocking join and the pattern
+  *    groupBy (map-side combined to <= 4^k rows/partition). Everything else
+  *    is either a broadcast join or driver-side math.
+  *  - Skewed blocks are handled upstream by [[Blocking]] (salting/capping)
+  *    plus AQE skew-join splitting.
+  *  - `idvar` columns ride along the pipeline; positional indices
+  *    (the reference's ComparisonIndex) never exist.
+  */
+object Linker {
+
+  final case class StageResult(group: ComparisonGroup, em: EmLink.EmResult)
+
+  final case class LinkResult(
+      config: MatchConfig,
+      em: EmLink.EmResult, // final (root) stage EM
+      childStages: Seq[StageResult],
+      patternStats: DataFrame, // tiny: gamma cols + pattern_id/counts/weights/zeta_j
+      pairs: DataFrame) { // id_a, id_b, gammas, zeta_j [, final_zeta]
+
+    /** Reference `getMatches` (`/root/reference/src/getMatches.jl:6-14`):
+      * pairs in patterns with zeta >= threshold. When TF adjustment ran,
+      * the pair-level `final_zeta` is used instead of the pattern zeta.
+      */
+    def matches(threshold: Option[Double] = None): DataFrame = {
+      val t = threshold.getOrElse(em.thresholdMatch)
+      val scoreCol =
+        if (pairs.columns.contains("final_zeta")) col("final_zeta") else col("zeta_j")
+      pairs.filter(scoreCol >= t)
+    }
+  }
+
+  /** Builds the pair DataFrame: equi-join on blocking columns, or a
+    * repartitioned cross join when `blockCols` is empty (the reference's
+    * all-pairs mode — only sane at test scale; the `Sum counts == N1*N2`
+    * identity from the reference test suite holds exactly there).
+    */
+  def buildPairs(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      cfg: MatchConfig,
+      specs: Seq[VariableSpec],
+      blockCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, id: String, suffix: String): DataFrame = {
+      val varCols = specs.map(_.varname).distinct
+      val tf = TermFrequency.withTfColumns(df, specs, suffix)
+      val keep =
+        col(id).as(s"id$suffix") +:
+          (varCols.map(v => col(v).as(s"$v$suffix")) ++
+            specs.filter(_.tfAdjust).map(s => col(s"tf_${s.varname}$suffix")) ++
+            blockCols.map(col))
+      tf.select(keep: _*)
+    }
+    val a = side(dfA, cfg.idA, "_a")
+    val b = side(dfB, cfg.idB, "_b")
+    if (blockCols.isEmpty) a.crossJoin(b)
+    else a.join(b, blockCols, "inner").drop(blockCols: _*)
+  }
+
+  /** Varnames whose gamma columns feed a group's EM: its own leaf variables
+    * plus one synthetic variable per child group (named after the child).
+    */
+  def effectiveVarnames(g: ComparisonGroup): Seq[String] =
+    g.variables.map(_.varname) ++ g.children.map(_.name)
+
+  def link(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      cfg: MatchConfig,
+      blockCols: Seq[String] = Nil,
+      autoDistinctRewrite: Boolean = false): LinkResult = {
+    val spark = dfA.sparkSession
+    val allSpecs = cfg.comparisons.allVariables
+    val nA = dfA.count()
+    val nB = dfB.count()
+
+    var pairs = buildPairs(dfA, dfB, cfg, allSpecs, blockCols)
+
+    // gamma columns for every leaf variable (one codegen'd projection; the
+    // distinct-value rewrite is applied per variable where it pays)
+    val (rewriteSpecs, plainSpecs) = allSpecs.partition { s =>
+      s.distinctRewrite.getOrElse(
+        autoDistinctRewrite && s.isFuzzyString &&
+          Gamma.distinctRatio(pairs, s) < 0.25)
+    }
+    pairs = Gamma.addGammaColumns(pairs, plainSpecs)
+    pairs = rewriteSpecs.foldLeft(pairs)((p, s) => Gamma.addGammaColumnDistinct(p, s))
+    // cache: every stage's pattern aggregation re-scans the pair table
+    val multiStage = cfg.stages.size > 1
+    if (multiStage) pairs.cache()
+
+    // leaf-first stages (reference H1-H3)
+    val stages = cfg.stages
+    val childResults = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+    stages.dropRight(1).foreach { g =>
+      val vars = effectiveVarnames(g)
+      val em = EmLink.run(Patterns.collect(Patterns.aggregate(pairs, vars), vars),
+        (nA, nB), vars, g.em)
+      childResults += StageResult(g, em)
+      // Non-final threshold uses sigmoid(weight), NOT zeta (reference
+      // `get_match_patternids` via bf_to_probability, patterns.jl:143-153,:200)
+      val matched = em.patterns
+        .filter(p => 1.0 / (1.0 + math.exp(-p.weight)) >= g.em.thresholdMatch)
+        .map(_.gammas.toSeq).toSet
+      // binarize: matched pattern => 2 else 0 (reference patterns_to_DiBit,
+      // patterns.jl:165-187). Build a tiny lookup DF keyed on the child's
+      // gamma columns.
+      import spark.implicits._
+      val lookup = em.patterns.map { p =>
+        val key = p.gammas.map(g0 => (if (g0 < 0) Gamma.Missing.toInt else g0).toByte)
+        (key.toSeq, if (matched.contains(p.gammas.toSeq)) Gamma.Match2 else Gamma.Nonmatch)
+      }
+      val lookupDf = lookup
+        .toDF("__key", "__verdict")
+        .select(
+          (Patterns.gammaCols(vars).zipWithIndex.map { case (c, i) =>
+            element_at(col("__key"), i + 1).as(c)
+          } :+ col("__verdict").cast(ByteType).as(Gamma.gammaColName(g.name))): _*)
+      pairs = pairs.join(broadcast(lookupDf), Patterns.gammaCols(vars), "left")
+    }
+
+    // final (root) stage
+    val root = stages.last
+    val rootVars = effectiveVarnames(root)
+    val emFinal = EmLink.run(
+      Patterns.collect(Patterns.aggregate(pairs, rootVars), rootVars),
+      (nA, nB), rootVars, root.em)
+    val stats = Patterns.statsDf(spark, emFinal)
+    var annotated = Patterns.attach(pairs, stats, rootVars)
+
+    // TF adjustment on the final stage (reference T3-T5)
+    if (allSpecs.exists(_.tfAdjust))
+      annotated = TermFrequency.adjust(annotated, allSpecs, emFinal, root.em.thresholdMatch)
+
+    LinkResult(cfg, emFinal, childResults.toSeq, stats, annotated)
+  }
+}

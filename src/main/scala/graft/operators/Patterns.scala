@@ -61,7 +61,7 @@ object Patterns {
     val rows = em.patterns.zipWithIndex.map { case (p, id) =>
       Row.fromSeq(
         p.gammas.toSeq.map(g => (if (g < 0) Gamma.Missing.toInt else g).toByte) ++
-          Seq(id, p.count, p.weight, p.pGammaJM, p.pGammaJU, p.zeta))
+          Seq[Any](id, p.count, p.weight, p.pGammaJM, p.pGammaJU, p.zeta))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }

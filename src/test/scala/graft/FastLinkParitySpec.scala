@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config._
+import graft.operators._
+import graft.sources.CsvFixtures
+
+/** End-to-end parity with the reference's own test suite
+  * (`/root/reference/test/runtests.jl:62-81`): same fixtures (dfA 500 rows,
+  * dfB 350 rows, re-shipped at src/test/resources), same 4-variable config
+  * (3x jarowinkler partial 0.92/0.88 w=0.1 + housenum numeric 1/2,
+  * threshold 0.85), all-pairs comparison. Golden assertions:
+  *   1. sum of counts of patterns with zeta >= 0.85 == 50
+  *   2. number_of_unique_patterns == 26
+  *   3. sum of all pattern counts == 500*350 = 175,000
+  *   4. p_u >= 0.999   5. p_m <= 0.0005
+  */
+class FastLinkParitySpec extends SparkSpec {
+
+  private lazy val cfg = MatchConfig(
+    idA = "ida", idB = "idb",
+    comparisons = ComparisonGroup(
+      name = "total",
+      variables = Seq(
+        VariableSpec("firstname", "jarowinkler", cutA = 0.92, cutB = 0.88, partial = true, w = 0.1),
+        VariableSpec("middlename", "jarowinkler", cutA = 0.92, cutB = 0.88, partial = true, w = 0.1),
+        VariableSpec("lastname", "jarowinkler", cutA = 0.92, cutB = 0.88, partial = true, w = 0.1),
+        VariableSpec("housenum", "numeric", cutA = 1, cutB = 2, partial = true))))
+
+  private lazy val result: Linker.LinkResult = {
+    // uppercase the three name columns, as the reference test does
+    // (runtests.jl:25-28)
+    def prep(path: String, id: String) = {
+      val df = CsvFixtures.readWithRowId(spark, resource(path), id)
+      Seq("firstname", "middlename", "lastname").foldLeft(df) { (acc, c) =>
+        acc.withColumn(c, upper(col(c)))
+      }
+    }
+    val dfA = prep("dfA.csv", "ida")
+    val dfB = prep("dfB.csv", "idb")
+    Linker.link(dfA, dfB, cfg) // no blocking: all 175,000 pairs
+  }
+
+  test("total comparisons = 500 x 350") {
+    assert(result.em.patterns.map(_.count).sum == 175000L)
+    assert(result.em.numberOfComparisons == 175000L)
+  }
+
+  test("26 unique gamma patterns") {
+    assert(result.em.numberOfUniquePatterns == 26)
+  }
+
+  test("50 matched pairs at zeta >= 0.85") {
+    val matchedCounts = result.em.matchedPatterns.map(_.count).sum
+    assert(matchedCounts == 50L)
+    // and the distributed pair table agrees with the driver-side EM
+    assert(result.matches().count() == 50L)
+  }
+
+  test("p_u >= 0.999 and p_m <= 0.0005") {
+    assert(result.em.pU >= 0.999, s"p_u = ${result.em.pU}")
+    assert(result.em.pM <= 0.0005, s"p_m = ${result.em.pM}")
+  }
+
+  test("EM converged and posteriors are probabilities") {
+    assert(result.em.converged)
+    result.em.patterns.foreach { p =>
+      assert(p.zeta >= 0 && p.zeta <= 1)
+    }
+    result.em.pGammaKM.foreach { v =>
+      assert(math.abs(v.sum - 1.0) < 1e-9)
+      assert(v.sorted == v) // monotone: higher agreement => larger m-prob
+    }
+    result.em.pGammaKU.foreach { v =>
+      assert(math.abs(v.sum - 1.0) < 1e-9)
+      assert(v.sorted.reverse == v)
+    }
+  }
+
+  test("distinct-value rewrite yields identical gammas") {
+    // the pooled-kernel plan shape (score distinct value pairs, broadcast
+    // back) must be a pure optimization: same gamma distribution
+    def prep(path: String, id: String) = {
+      val df = CsvFixtures.readWithRowId(spark, resource(path), id)
+      Seq("firstname").foldLeft(df)((acc, c) => acc.withColumn(c, upper(col(c))))
+    }
+    val dfA = prep("dfA.csv", "ida").select(col("ida"), col("firstname"))
+    val dfB = prep("dfB.csv", "idb").select(col("idb"), col("firstname"))
+    val spec = VariableSpec("firstname", "jarowinkler", cutA = 0.92, cutB = 0.88)
+    val pairs = dfA.withColumnRenamed("firstname", "firstname_a")
+      .crossJoin(dfB.withColumnRenamed("firstname", "firstname_b"))
+    val plain = Gamma.addGammaColumns(pairs, Seq(spec))
+      .groupBy("gamma_firstname").count().collect()
+      .map(r => r.getByte(0) -> r.getLong(1)).toMap
+    val rewritten = Gamma.addGammaColumnDistinct(pairs, spec)
+      .groupBy("gamma_firstname").count().collect()
+      .map(r => r.getByte(0) -> r.getLong(1)).toMap
+    assert(plain == rewritten)
+  }
+}

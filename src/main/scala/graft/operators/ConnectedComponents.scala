@@ -67,8 +67,10 @@ object ConnectedComponents {
 
       val next = checkpoint(small)
       // convergence: the edge multiset is stable (cheap order-free checksum)
-      val oldSum = e.agg(sum(xxhash64($"u", $"v")).as("s"), count(lit(1)).as("c")).head()
-      val newSum = next.agg(sum(xxhash64($"u", $"v")).as("s"), count(lit(1)).as("c")).head()
+      val oldSum = e.agg(sum(xxhash64($"u", $"v").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("c")).head()
+      val newSum = next.agg(sum(xxhash64($"u", $"v").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("c")).head()
       converged = oldSum == newSum
       e.unpersist()
       e = next

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("chains, cliques, singletons-in-edges resolve to min-id components") {
+    import spark.implicits._
+    // component 1: chain 1-2-3-4-5; component 2: clique {10,11,12};
+    // component 3: single edge 20-21; component 4: star 30-{31,32,33}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L)).toDF("src", "dst")
+    val comps = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L).forall(comps(_) == 20L))
+    assert(Seq(30L, 31L, 32L, 33L).forall(comps(_) == 30L))
+  }
+
+  test("long path converges (log-round behavior)") {
+    import spark.implicits._
+    val n = 200
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val comps = ConnectedComponents.run(edges)
+    assert(comps.select(countDistinct("component")).head().getLong(0) == 1L)
+    assert(comps.count() == (n + 1).toLong)
+    assert(comps.agg(max("component")).head().getLong(0) == 0L)
+  }
+
+  test("duplicate + reversed edges are normalized") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 3L), (3L, 2L)).toDF("src", "dst")
+    val comps = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+  }
+}

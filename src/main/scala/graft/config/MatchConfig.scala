@@ -124,6 +124,13 @@ object MatchConfig {
       val kids = subgroups.map(v => parseGroup(v \ "comparisons"))
       val em = EmOptions(
         pM0 = (j \ "p_m").extractOrElse[Double](0.1),
+        iterMax = (j \ "iter_max").extractOrElse[Int](5000),
+        tol = (j \ "tol").extractOrElse[Double](1e-5),
+        priorLambda = (j \ "prior_lambda").extractOrElse[Double](0.0),
+        wLambda = (j \ "w_lambda").extractOrElse[Double](0.0),
+        priorPi = (j \ "prior_pi").extractOrElse[Double](0.0),
+        wPi = (j \ "w_pi").extractOrElse[Double](0.0),
+        addressFields = (j \ "address_field").extractOrElse[Seq[String]](Nil).toSet,
         thresholdMatch = (j \ "threshold_match").extractOrElse[Double](0.85))
       ComparisonGroup(name, specs, kids, em)
     }

@@ -87,7 +87,12 @@ object TermFrequency {
       specs: Seq[VariableSpec],
       em: EmLink.EmResult,
       threshold: Double): DataFrame = {
-    val tfSpecs = specs.zipWithIndex.filter(_._1.tfAdjust)
+    // Only variables that feed the final EM directly can be TF-adjusted
+    // (a tf_adjust var inside a child group is binarized away by the child
+    // stage — its per-pair tf no longer has a gamma level in the final EM).
+    val tfSpecs = specs.filter(_.tfAdjust)
+      .map(s => (s, em.varnames.indexOf(s.varname)))
+      .filter(_._2 >= 0)
     val adjustments: Seq[Column] = tfSpecs.map { case (s, i) =>
       val uv = uValues(em, i)
       val g = col(Gamma.gammaColName(s.varname))

@@ -1,0 +1,112 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (query set x corpus, broadcast the
+  * small side). Scale path: sign-random-projection (SRP) LSH bucketing — at
+  * 100 TB the corpus is bucketed once and each query probes its bucket.
+  * All vector math is `zip_with`/`aggregate` column arithmetic (codegen),
+  * no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. The query side is broadcast (it is the small side by
+    * contract); ranking is a window over query id — the corpus never
+    * shuffles by itself, only the (queries x corpus) scored pairs.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a hash-derived value in [-1, 1). Replaces driver-side RNG so the
+    * bucketing is reproducible across runs and cluster sizes.
+    */
+  private def planeComponent(p: Column, i: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(seed), p, i), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+
+  /** Sign-random-projection signature: `planes` bits, bit p = sign of
+    * <v, h_p> where h_p is the deterministic hash-derived hyperplane.
+    */
+  def srpSignature(vec: Column, planes: Int, seed: Long = 42L): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(lit(p), i, seed)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH candidate pairs by SRP bucket (exact signature match). Two vectors
+    * with cosine ~1 share all sign bits with high probability. Keeps the
+    * paired vectors as `__va`/`__vb` for immediate verification.
+    */
+  def srpCandidatePairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val sig = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      srpSignature(col(vecCol), planes, seed).as("__bucket"))
+    val a = sig.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = sig.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, "__bucket").filter(col("id_a") < col("id_b"))
+  }
+
+  /** Bucketed ANN top-k: probe only the query's SRP bucket. Trades recall
+    * (misses cross-bucket neighbors) for a corpus-partition-local search —
+    * the 100 TB path, with multi-probe left as a `planes`-1-bit-flip union.
+    */
+  def srpTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      srpSignature(col(vecCol), planes, seed).as("__bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      srpSignature(col(vecCol), planes, seed).as("__bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(q, "__bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

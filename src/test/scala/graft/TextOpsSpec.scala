@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.textops._
+import graft.sources.WebCorpus
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    // deterministic docs with planted exact + near dups
+    val base = WebCorpus.pages(spark, WebCorpus.Params(nBase = 300, dupFraction = 0.3, nHosts = 10))
+      .select(col("page_id").as("doc_id"), col("text"))
+    base.cache()
+  }
+
+  test("exact dedup finds planted exact duplicates and only them") {
+    val withDup = docs.select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      .limit(20).union(docs)
+    val groups = Dedup.exactGroups(withDup, "doc_id", "text")
+    assert(groups.count() >= 20)
+    val total = withDup.count()
+    val kept = Dedup.dropExactDuplicates(withDup, "doc_id", "text").count()
+    val distinctTexts = withDup.select(Dedup.normalizeText(col("text"))).distinct().count()
+    assert(kept == distinctTexts)
+    assert(kept < total)
+  }
+
+  test("minhash LSH dup pairs = brute-force ngram-jaccard pairs at threshold (100% recall here)") {
+    // keep whole clusters (doc_id = base*1e6 + dup_idx) so near-dups exist
+    val small = docs.filter(col("doc_id") / 1000000L < 80).cache()
+    val lsh = Dedup.minhashDupPairs(small, "doc_id", "text",
+      threshold = 0.5, shingleSize = 3, numHashes = 32, bands = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force ground truth
+    val a = small.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = small.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.ngramJaccard(col("ta"), col("tb"), 3))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain near-dup pairs")
+    assert(lsh == truth, s"missed=${(truth -- lsh).size} extra=${(lsh -- truth).size}")
+  }
+
+  test("simhash dup pairs are near-dups, hamming symmetric bound") {
+    val small = docs.limit(150)
+    val pairs = Dedup.simhashDupPairs(small, "doc_id", "text", maxHamming = 6).cache()
+    assert(pairs.filter(col("hamming") > 6).count() == 0)
+    // every simhash pair should have decent token jaccard (sanity, not exact)
+    val a = small.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = small.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val verified = pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("j", Dedup.tokenJaccard(col("ta"), col("tb")))
+    val lowJ = verified.filter(col("j") < 0.3).count()
+    assert(lowJ == 0, s"$lowJ simhash pairs with jaccard < 0.3")
+  }
+
+  test("brute-force cosine top-k matches hand computation") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(topk.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+    assert(math.abs(topk(0).getDouble(3) - 0.9 / math.sqrt(0.82)) < 1e-6)
+  }
+
+  test("SRP-bucketed top-k finds the same #1 neighbor for near-identical vectors") {
+    val n = 100
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0).cast("float"))
+        .as("embedding"))
+    // plant a twin of vector 0 with id 1000 (tiny perturbation on one dim)
+    val twin = vecs.filter($"vec_id" === 0)
+      .select(lit(1000L).as("vec_id"),
+        transform($"embedding", x => x + lit(0.001f)).as("embedding"))
+    val corpus = vecs.union(twin)
+    val res = Similarity.srpTopK(corpus, twin, "vec_id", "embedding", k = 1, planes = 8)
+      .collect()
+    assert(res.length == 1 && res(0).getLong(2) == 0L)
+    assert(res(0).getDouble(3) > 0.999)
+  }
+
+  test("language id identifies stopword-bearing text") {
+    val samples = Seq(
+      ("the cat and the dog walked to the park in the morning", "en"),
+      ("der hund und die katze, das haus ist hier und der baum", "de"),
+      ("le chat et la maison, les arbres et des fleurs dans le jardin", "fr"),
+      ("el perro y la casa, los arboles en una calle", "es"),
+      ("zzz qqq xxx", "und")).toDF("text", "expected")
+    val wrong = samples.withColumn("pred", TextStats.langId(col("text")))
+      .filter(col("pred") =!= col("expected")).collect()
+    assert(wrong.isEmpty, wrong.mkString(";"))
+  }
+
+  test("token counts, quality, fingerprint are deterministic and sane") {
+    val df = Seq((1L, "Hello, World! This is a test."), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val stats = TextStats.documentStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(stats(1L).getAs[Int]("n_tokens") == 6)
+    assert(stats(2L).getAs[Int]("n_tokens") == 0)
+    assert(stats(3L).getAs[Int]("n_tokens") == 0)
+    val q = stats(1L).getAs[Double]("quality")
+    assert(q > 0 && q <= 1)
+    assert(stats(1L).getAs[String]("fingerprint").length == 16)
+    // rolling fingerprint is order-sensitive
+    val fp = Seq(("a b c", 1), ("c b a", 2)).toDF("text", "i")
+      .select(TextStats.fingerprint64(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) != fp(1))
+  }
+
+  test("multimodal: batched feature extraction shape + determinism, frame sampling") {
+    val media = Multimodal.syntheticMedia(docs.limit(50), "doc_id", "text").cache()
+    val f1 = Multimodal.extractFeatures(media, dim = 16, batchSize = 7)
+    val rows = f1.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getAs[Seq[Float]]("features").length == 16))
+    val f2 = Multimodal.extractFeatures(media, dim = 16, batchSize = 50).collect()
+    assert(rows.map(r => (r.getLong(0), r.getAs[Seq[Float]](1))).toMap ==
+      f2.map(r => (r.getLong(0), r.getAs[Seq[Float]](1))).toMap)
+    val frames = Multimodal.sampleFrames(media, intervalMs = 60000L)
+    val expected = media.filter($"kind" === "video")
+      .agg(sum(ceil($"duration_ms".cast("double") / 60000.0).cast("long"))).head().getLong(0)
+    assert(frames.count() == expected)
+  }
+}

@@ -1,24 +1,131 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config._
+import graft.operators._
+import graft.sources.WebCorpus
+
+/** Benchmark harness.
+  *
+  * 1. Runs every SparkEntry query on `SPARK_GRAFT_SF_DIR` at
+  *    `local[SPARK_GRAFT_CPUS]` (per-query seconds into `queries`).
+  * 2. North-rule scaling evidence: the identical end-to-end
+  *    link-and-cluster job (blocked pairs -> 6 gamma vars -> pattern agg ->
+  *    EM -> threshold -> connected components) over the same synthetic web
+  *    corpus at two parallelism levels (N and 4N local cores, default 8 vs
+  *    32), reporting pairs/sec at both plus scaling efficiency
+  *    (= throughput_4N / throughput_N / 4). A real cluster is evidenced the
+  *    same way with N vs 4N executors via spark-submit.
+  *
+  * Prints ONE JSON line.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** The end-to-end link-and-cluster job. Returns (nComparisons, nMatched,
+    * nClusters). Comparable in per-pair work to the reference's published
+    * benchmark (6 variables: 4 fuzzy string + exact + numeric;
+    * /root/reference/src/benchmark.jl:22-62, all-pairs there, blocked here).
+    */
+  private def linkAndCluster(spark: SparkSession, nBase: Long, nHosts: Int): (Long, Long, Long) = {
+    val pages = WebCorpus.pages(spark, WebCorpus.Params(nBase = nBase, dupFraction = 0.25,
+        nHosts = nHosts))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("title", concat_ws(" ", slice(col("toks"), 1, 3)))
+      .withColumn("mid3", concat_ws(" ", slice(col("toks"), 4, 3)))
+      .withColumn("tail3", concat_ws(" ", slice(col("toks"), 7, 3)))
+      .withColumn("tok1", element_at(col("toks"), 1))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
+      .drop("toks")
+    val cfg = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup(
+        name = "bench",
+        variables = Seq(
+          VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+          VariableSpec("mid3", "jarowinkler", cutA = 0.92, cutB = 0.88),
+          VariableSpec("tail3", "jarowinkler", cutA = 0.92, cutB = 0.88),
+          VariableSpec("tok1", "exact"),
+          VariableSpec("lang", "exact"),
+          VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"), col("mid3"),
+      col("tail3"), col("tok1"), col("lang"), col("n_tokens"), col("block"))
+    val res = Linker.link(side("ida"), side("idb"), cfg, blockCols = Seq("block"),
+      maxBlockRows = Some(1000L))
+    val nComparisons = res.em.patterns.map(_.count).sum
+    val matched = res.matches().filter(col("id_a") < col("id_b"))
+    val comps = ConnectedComponents.clusterPairs(matched)
+    val nClusters = comps.select(countDistinct("component")).head().getLong(0)
+    val nMatched = matched.count()
+    (nComparisons, nMatched, nClusters)
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpusSmall = math.max(cpus / 4, 1)
+    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "100000").toLong
+    val nHosts = 60
+
+    // ---- phase 1: per-query timings at full parallelism ----
+    var spark = session(cpus)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = timed {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      }
+      System.err.println(f"[bench] $name%-20s $sec%8.2f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- phase 2: link-and-cluster scaling (same job, N vs 4N cores) ----
+    // JIT/codegen warmup at small size
+    linkAndCluster(spark, 5000, 20)
+    System.err.println("[bench] warmup done")
+    val ((nPairs4N, nMatched, nClusters), sec4N) =
+      timed(linkAndCluster(spark, benchBase, nHosts))
     spark.stop()
+
+    spark = session(cpusSmall)
+    linkAndCluster(spark, 5000, 20) // warmup in the fresh session
+    val ((nPairsN, _, _), secN) = timed(linkAndCluster(spark, benchBase, nHosts))
+    spark.stop()
+
+    val thr4N = nPairs4N / sec4N
+    val thrN = nPairsN / secN
+    val eff = (thr4N / thrN) / (cpus.toDouble / cpusSmall)
+
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).sum + sec4N
+    val linkage =
+      s"""{"n_comparisons":$nPairs4N,"n_matched":$nMatched,"n_clusters":$nClusters,""" +
+        s""""cpus_n":$cpusSmall,"cpus_4n":$cpus,""" +
+        f""""sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,""" +
+        f""""pairs_per_sec_n":${thrN}%.0f,"pairs_per_sec_4n":${thr4N}%.0f,""" +
+        f""""scaling_efficiency":$eff%.3f}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","link_and_cluster":$linkage}""")
   }
 }

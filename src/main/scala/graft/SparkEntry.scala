@@ -255,13 +255,18 @@ object SparkEntry {
         .orderBy("text_hash")
     }),
     "q_dedup_jaccard" -> ((s, dir) => {
+      // tokens materialized per doc BEFORE the pair join (array lambdas are
+      // interpreted, so they must run O(rows), not O(pairs))
       val d = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("lang"), col("source"), col("doc_id"),
+          Dedup.distinctTokens(col("text")).as("toks"))
       val a = d.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-        col("text").as("ta"))
+        col("toks").as("ta"))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-        col("text").as("tb"))
+        col("toks").as("tb"))
       a.join(b, Seq("lang", "source")).filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard", round(Dedup.tokenJaccard(col("ta"), col("tb")), 6))
+        .withColumn("jaccard", round(Dedup.jaccardArrays(col("ta"), col("tb")), 6))
         .filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

@@ -238,12 +238,133 @@ object StringSim {
       roMatches(s1, bestA + bestLen, a1, s2, bestB + bestLen, b1)
   }
 
+  // ---- allocation-free ASCII fast path ----
+  // The gamma stage evaluates one of these per candidate pair per fuzzy
+  // variable — at 10^8+ pairs the UTF8String->String conversion (2 allocs +
+  // copies per call) and the per-call boolean match arrays dominate. For
+  // full-ASCII inputs we work directly on the UTF8String bytes with
+  // thread-local scratch buffers (safe: Spark evaluates expressions
+  // single-threaded per task).
+  private final val ScratchCap = 4096
+  private val scratch1 = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](ScratchCap)
+  }
+  private val scratch2 = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](ScratchCap)
+  }
+
+  /** Jaro over raw ASCII bytes; caller guarantees isFullAscii on both. */
+  private def jaroAscii(s1: UTF8String, s2: UTF8String): Double = {
+    val len1 = s1.numBytes()
+    val len2 = s2.numBytes()
+    if (len1 == 0 && len2 == 0) return 1.0
+    if (len1 == 0 || len2 == 0) return 0.0
+    if (len1 > ScratchCap || len2 > ScratchCap)
+      return jaro(s1.toString, s2.toString)
+    val maxLen = math.max(len1, len2)
+    val window = math.max(maxLen / 2 - 1, 0)
+    val m1 = scratch1.get()
+    val m2 = scratch2.get()
+    java.util.Arrays.fill(m1, 0, len1, false)
+    java.util.Arrays.fill(m2, 0, len2, false)
+    var matches = 0
+    var i = 0
+    while (i < len1) {
+      val c = s1.getByte(i)
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && c == s2.getByte(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.getByte(i) != s2.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / len1 + m / len2 + (m - t / 2.0) / m) / 3.0
+  }
+
+  /** Cheap ASCII check (single pass over the bytes; avoids UTF8String's
+    * isFullAscii bookkeeping which showed up in profiles).
+    */
+  private def asciiOnly(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) < 0) return false
+      i += 1
+    }
+    true
+  }
+
   // ---- UTF8String entry points for Catalyst codegen ----
-  def jaroWinklerUTF8(a: UTF8String, b: UTF8String, p: Double): Double =
-    jaroWinkler(a.toString, b.toString, p)
-  def jaroUTF8(a: UTF8String, b: UTF8String): Double = jaro(a.toString, b.toString)
-  def levenshteinSimUTF8(a: UTF8String, b: UTF8String): Double =
-    levenshteinSim(a.toString, b.toString)
+  def jaroWinklerUTF8(a: UTF8String, b: UTF8String, p: Double): Double = {
+    if (a.equals(b)) return 1.0 // exact match: jw = 1 regardless of p
+    if (asciiOnly(a) && asciiOnly(b)) {
+      val j = jaroAscii(a, b)
+      if (j >= 0.7) {
+        val maxPrefix = math.min(math.min(a.numBytes(), b.numBytes()), 4)
+        var l = 0
+        while (l < maxPrefix && a.getByte(l) == b.getByte(l)) l += 1
+        j + l * p * (1.0 - j)
+      } else j
+    } else jaroWinkler(a.toString, b.toString, p)
+  }
+  def jaroUTF8(a: UTF8String, b: UTF8String): Double =
+    if (a.equals(b)) 1.0
+    else if (asciiOnly(a) && asciiOnly(b)) jaroAscii(a, b)
+    else jaro(a.toString, b.toString)
+  private val scratchInt1 = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](ScratchCap + 1)
+  }
+  private val scratchInt2 = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](ScratchCap + 1)
+  }
+
+  def levenshteinSimUTF8(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (asciiOnly(a) && asciiOnly(b) &&
+        a.numBytes() <= ScratchCap && b.numBytes() <= ScratchCap) {
+      val len1 = a.numBytes()
+      val len2 = b.numBytes()
+      val maxLen = math.max(len1, len2)
+      if (maxLen == 0) return 1.0
+      if (len1 == 0 || len2 == 0) return 1.0 - maxLen.toDouble / maxLen // 0.0
+      var prev = scratchInt1.get()
+      var cur = scratchInt2.get()
+      var j = 0
+      while (j <= len2) { prev(j) = j; j += 1 }
+      var i = 1
+      while (i <= len1) {
+        cur(0) = i
+        val c1 = a.getByte(i - 1)
+        j = 1
+        while (j <= len2) {
+          val cost = if (c1 == b.getByte(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+          j += 1
+        }
+        val tmp = prev; prev = cur; cur = tmp
+        i += 1
+      }
+      1.0 - prev(len2).toDouble / maxLen
+    } else levenshteinSim(a.toString, b.toString)
+  }
   def osaSimUTF8(a: UTF8String, b: UTF8String): Double = osaSim(a.toString, b.toString)
   def damerauLevenshteinSimUTF8(a: UTF8String, b: UTF8String): Double =
     damerauLevenshteinSim(a.toString, b.toString)

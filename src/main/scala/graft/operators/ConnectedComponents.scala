@@ -41,6 +41,12 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
+    // order-free checksum of the current edge multiset; recomputed once per
+    // iteration (the previous iteration's value is reused, not re-queried)
+    def checksumOf(df: DataFrame) =
+      df.agg(sum(xxhash64($"u", $"v").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("c")).head()
+    var prevSum = checksumOf(e)
     while (!converged && iter < maxIter) {
       // --- large-star: connect every neighbor larger than u to the min of
       // N(u) u {u} ---
@@ -66,12 +72,9 @@ object ConnectedComponents {
         .distinct()
 
       val next = checkpoint(small)
-      // convergence: the edge multiset is stable (cheap order-free checksum)
-      val oldSum = e.agg(sum(xxhash64($"u", $"v").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("c")).head()
-      val newSum = next.agg(sum(xxhash64($"u", $"v").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("c")).head()
-      converged = oldSum == newSum
+      val newSum = checksumOf(next)
+      converged = prevSum == newSum
+      prevSum = newSum
       e.unpersist()
       e = next
       iter += 1

@@ -53,13 +53,24 @@ object Linker {
     * repartitioned cross join when `blockCols` is empty (the reference's
     * all-pairs mode — only sane at test scale; the `Sum counts == N1*N2`
     * identity from the reference test suite holds exactly there).
+    *
+    * SKEW (north rule): a hot blocking key makes the sort-merge join's
+    * per-key pair fan-out quadratic in ONE task, invisible to AQE's skew
+    * split (AQE sees input partition bytes, not join output). With
+    * `maxBlockRows = Some(cap)`, blocks larger than `cap` on the B side are
+    * salted: B rows get salt = hash(id) % ns (ns = ceil(n/cap)); A rows in
+    * those blocks are replicated once per salt. Every (a,b) pair still
+    * appears exactly once — the hot block's output is spread over ns
+    * shuffle keys instead of one. Replication cost: ns copies of the hot
+    * blocks' A rows (row-sized, not pair-sized).
     */
   def buildPairs(
       dfA: DataFrame,
       dfB: DataFrame,
       cfg: MatchConfig,
       specs: Seq[VariableSpec],
-      blockCols: Seq[String]): DataFrame = {
+      blockCols: Seq[String],
+      maxBlockRows: Option[Long] = None): DataFrame = {
     def side(df: DataFrame, id: String, suffix: String): DataFrame = {
       val varCols = specs.map(_.varname).distinct
       val tf = TermFrequency.withTfColumns(df, specs, suffix)
@@ -73,7 +84,27 @@ object Linker {
     val a = side(dfA, cfg.idA, "_a")
     val b = side(dfB, cfg.idB, "_b")
     if (blockCols.isEmpty) a.crossJoin(b)
-    else a.join(b, blockCols, "inner").drop(blockCols: _*)
+    else maxBlockRows match {
+      case None =>
+        a.join(b, blockCols, "inner").drop(blockCols: _*)
+      case Some(cap) =>
+        val oversized = b.groupBy(blockCols.map(col): _*)
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap)
+          .withColumn("__ns", ceil(col("__bn") / cap.toDouble).cast("int"))
+          .drop("__bn")
+        val bS = b.join(broadcast(oversized), blockCols, "left")
+          .withColumn("__salt",
+            when(col("__ns").isNull, lit(0))
+              .otherwise(pmod(xxhash64(col("id_b")), col("__ns").cast("long")).cast("int")))
+          .drop("__ns")
+        val aS = a.join(broadcast(oversized), blockCols, "left")
+          .withColumn("__salt",
+            explode(sequence(lit(0), coalesce(col("__ns"), lit(1)) - 1)))
+          .drop("__ns")
+        aS.join(bS, blockCols :+ "__salt", "inner")
+          .drop("__salt").drop(blockCols: _*)
+    }
   }
 
   /** Varnames whose gamma columns feed a group's EM: its own leaf variables
@@ -87,13 +118,15 @@ object Linker {
       dfB: DataFrame,
       cfg: MatchConfig,
       blockCols: Seq[String] = Nil,
-      autoDistinctRewrite: Boolean = false): LinkResult = {
+      autoDistinctRewrite: Boolean = false,
+      persist: Boolean = true,
+      maxBlockRows: Option[Long] = None): LinkResult = {
     val spark = dfA.sparkSession
     val allSpecs = cfg.comparisons.allVariables
     val nA = dfA.count()
     val nB = dfB.count()
 
-    var pairs = buildPairs(dfA, dfB, cfg, allSpecs, blockCols)
+    var pairs = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows)
 
     // gamma columns for every leaf variable (one codegen'd projection; the
     // distinct-value rewrite is applied per variable where it pays)
@@ -104,9 +137,21 @@ object Linker {
     }
     pairs = Gamma.addGammaColumns(pairs, plainSpecs)
     pairs = rewriteSpecs.foldLeft(pairs)((p, s) => Gamma.addGammaColumnDistinct(p, s))
-    // cache: every stage's pattern aggregation re-scans the pair table
-    val multiStage = cfg.stages.size > 1
-    if (multiStage) pairs.cache()
+
+    // Drop the compared columns and persist (ids + gammas [+ tf]) — the
+    // Spark analogue of the reference's DiBitMatrix + drop-column-after-
+    // kernel discipline (fastlink.jl:109-113): comparisons run exactly once,
+    // and the EM/threshold passes re-read a narrow columnar cache (bytes per
+    // pair) instead of re-running the join + kernels. MEMORY_AND_DISK: at
+    // cluster scale this spills / doubles as the resume checkpoint.
+    if (persist) {
+      val keep = Seq("id_a", "id_b") ++
+        allSpecs.map(s => Gamma.gammaColName(s.varname)) ++
+        allSpecs.filter(_.tfAdjust).flatMap(s =>
+          Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)))
+      pairs = pairs.select(keep.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
     // leaf-first stages (reference H1-H3)
     val stages = cfg.stages

@@ -12,6 +12,14 @@ import graft.operators.Blocking
   * with map-side combine, and candidate generation via equi-join on derived
   * keys (never a cross join). Verification of candidates (true Jaccard) runs
   * only on the candidate set.
+  *
+  * PERFORMANCE INVARIANT: Spark's higher-order array functions
+  * (transform/aggregate/filter lambdas) do NOT participate in whole-stage
+  * codegen — they evaluate interpreted. Every operator therefore
+  * materializes token/shingle arrays ONCE per row (before any join fans rows
+  * out into pairs) and never re-derives arrays from raw text on the pair
+  * side. Re-deriving per pair turns an O(rows) cost into O(pairs) —
+  * catastrophic at scale and measurably so even at 500 docs.
   */
 object Dedup {
 
@@ -42,28 +50,41 @@ object Dedup {
     docs.join(keepers, idCol).drop("__h")
   }
 
-  /** True token-set Jaccard similarity between two text columns. */
-  def tokenJaccard(a: Column, b: Column): Column = {
-    val ta = array_distinct(split(normalizeText(a), " "))
-    val tb = array_distinct(split(normalizeText(b), " "))
-    val inter = size(array_intersect(ta, tb)).cast("double")
-    val uni = size(array_union(ta, tb)).cast("double")
+  /** Jaccard of two pre-materialized distinct-element array columns. */
+  def jaccardArrays(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
-  /** N-gram (shingle-set) Jaccard between two text columns. */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = array_distinct(Blocking.tokenShingles(a, n))
-    val sb = array_distinct(Blocking.tokenShingles(b, n))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_union(sa, sb)).cast("double")
-    when(uni === 0, lit(1.0)).otherwise(inter / uni)
-  }
+  /** Distinct normalized tokens of a text column (materialize this once per
+    * row, join pairs on ids, then use [[jaccardArrays]]).
+    */
+  def distinctTokens(text: Column): Column =
+    array_distinct(split(normalizeText(text), " "))
+
+  /** Distinct token n-gram shingles. */
+  def distinctShingles(text: Column, n: Int): Column =
+    array_distinct(Blocking.tokenShingles(text, n))
+
+  /** True token-set Jaccard between two text columns. Convenience form for
+    * row-count-sized inputs; on pair-sized inputs materialize
+    * [[distinctTokens]] per side first.
+    */
+  def tokenJaccard(a: Column, b: Column): Column =
+    jaccardArrays(distinctTokens(a), distinctTokens(b))
+
+  /** N-gram (shingle-set) Jaccard between two text columns (same caveat). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    jaccardArrays(distinctShingles(a, n), distinctShingles(b, n))
 
   /** MinHash+LSH near-duplicate pairs: shingle -> minhash -> band ->
-    * bucket-join -> verify candidates with true n-gram Jaccard >= threshold.
-    * Output: (id_a, id_b, jaccard). The band parameters trade recall for
+    * bucket-join -> verify candidates with true shingle Jaccard >= threshold.
+    * Output: (id_a, id_b, jaccard). Band parameters trade recall for
     * candidate volume: P(candidate) = 1-(1-J^r)^b.
+    *
+    * Shingles are materialized once per doc; the banded self-join and the
+    * verification join only move ids + arrays.
     */
   def minhashDupPairs(
       docs: DataFrame,
@@ -73,28 +94,36 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 16): DataFrame = {
-    val cands = Blocking.lshCandidatePairs(docs, idCol, col(textCol), shingleSize,
-      numHashes, bands)
-    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
-    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
-    cands
-      .join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", ngramJaccard(col("__ta"), col("__tb"), shingleSize))
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val rows = numHashes / bands
+    // one row per doc: id, distinct shingles, band keys — computed once
+    val sh = docs
+      .repartition(par, col(idCol))
+      .select(col(idCol).as("__id"),
+        distinctShingles(col(textCol), shingleSize).as("__sh"))
+      .withColumn("__bands",
+        Blocking.bandKeys(Blocking.minhashSignature(col("__sh"), numHashes), bands, rows))
+    val keyed = sh.select(col("__id"), col("__sh"),
+      posexplode(col("__bands")).as(Seq("__band", "__key")))
+    val a = keyed.select(col("__band"), col("__key"), col("__id").as("id_a"),
+      col("__sh").as("__sa"))
+    val b = keyed.select(col("__band"), col("__key"), col("__id").as("id_b"),
+      col("__sh").as("__sb"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardArrays(col("__sa"), col("__sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard")) // dedupe multi-band hits
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote of token
-    * hashes. Expressed as pure column arithmetic (64 bit-count aggregates
-    * over the token array, no UDF): for each bit position, count tokens with
-    * that bit set vs total, set the bit if votes > half.
+    * hashes, pure column arithmetic (no UDF). The 64 aggregate() lambdas are
+    * interpreted — simhash is computed once per row, never per pair.
     */
   def simhash64(text: Column): Column = {
-    val tokens = split(normalizeText(text), " ")
-    val hashes = transform(tokens, t => xxhash64(t))
-    val n = size(tokens)
-    // fold over 64 bits; each bit is derived with aggregate() over the
-    // hash array — stays inside codegen'd higher-order functions
+    val hashes = transform(split(normalizeText(text), " "), t => xxhash64(t))
+    val n = size(hashes)
     (0 until 64).map { bit =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + shiftrightunsigned(h, bit).bitwiseAND(lit(1L)))
@@ -111,7 +140,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSig = docs.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val withSig = docs
+      .repartition(par, col(idCol))
+      .select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
     val banded = withSig.select(col("__id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("__sig"), lit(16) * b)
@@ -123,14 +156,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
   }
 
-  /** Embedding-cosine near-duplicate pairs among LSH candidates — see
-    * [[Similarity]] for the ANN machinery; this is the convenience wrapper
-    * for dedup-by-embedding.
-    */
+  /** Embedding-cosine near-duplicate pairs among SRP-LSH candidates. */
   def embeddingDupPairs(
       vectors: DataFrame,
       idCol: String,

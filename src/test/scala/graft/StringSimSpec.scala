@@ -80,6 +80,21 @@ class StringSimSpec extends AnyFunSuite {
     }
   }
 
+  test("UTF8String ASCII fast path == String path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAllPairs(500) { (a: String, b: String) =>
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      approx(StringSim.jaroWinklerUTF8(ua, ub, 0.1), StringSim.jaroWinkler(a, b, 0.1), 1e-12)
+      approx(StringSim.jaroUTF8(ua, ub), StringSim.jaro(a, b), 1e-12)
+      approx(StringSim.levenshteinSimUTF8(ua, ub), StringSim.levenshteinSim(a, b), 1e-12)
+    }
+    // non-ASCII falls back to the String path
+    val (x, y) = ("müller", "mueller")
+    approx(StringSim.jaroWinklerUTF8(UTF8String.fromString(x), UTF8String.fromString(y), 0.1),
+      StringSim.jaroWinkler(x, y, 0.1), 1e-12)
+  }
+
   test("dl <= osa <= lev distances") {
     forAllPairs(500) { (a: String, b: String) =>
       val lv = StringSim.levenshteinDist(a, b)

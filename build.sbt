@@ -26,10 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
   // Fixed, pre-touched heap: this sandbox's nested paging makes first-touch
   // page faults expensive and serialized (mmap lock) — lazy heap growth
   // shows up as 90% sys time and destroys multi-core scaling.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
   "-XX:+AlwaysPreTouch",
 )

@@ -93,22 +93,35 @@ object Dedup {
       threshold: Double = 0.7,
       shingleSize: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val rows = numHashes / bands
-    // one row per doc: id, distinct shingles, band keys — computed once
+    // One row per doc: id, distinct shingles, band keys — computed once.
+    // The repartition AFTER the projection is load-bearing: an Exchange is a
+    // hard materialization boundary, so the (interpreted, O(text)) shingle +
+    // signature expressions run exactly once per doc; without it the
+    // optimizer can substitute them past the join and re-evaluate per
+    // candidate pair.
     val sh = docs
-      .repartition(par, col(idCol))
       .select(col(idCol).as("__id"),
         distinctShingles(col(textCol), shingleSize).as("__sh"))
       .withColumn("__bands",
         Blocking.bandKeys(Blocking.minhashSignature(col("__sh"), numHashes), bands, rows))
+      .repartition(par, col("__id"))
     val keyed = sh.select(col("__id"), col("__sh"),
       posexplode(col("__bands")).as(Seq("__band", "__key")))
-    val a = keyed.select(col("__band"), col("__key"), col("__id").as("id_a"),
+    // Cap pathological buckets: a band key shared by thousands of docs is a
+    // degenerate (information-free) bucket whose self-join output is
+    // quadratic in ONE sort-merge group. Standard LSH practice: drop them.
+    val bucketSizes = keyed.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+    val pruned = keyed.join(broadcast(bucketSizes), Seq("__band", "__key"), "left_anti")
+    val a = pruned.select(col("__band"), col("__key"), col("__id").as("id_a"),
       col("__sh").as("__sa"))
-    val b = keyed.select(col("__band"), col("__key"), col("__id").as("id_b"),
+    val b = pruned.select(col("__band"), col("__key"), col("__id").as("id_b"),
       col("__sh").as("__sb"))
     a.join(b, Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
@@ -139,17 +152,22 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val withSig = docs
-      .repartition(par, col(idCol))
       .select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
-    val banded = withSig.select(col("__id"), col("__sig"),
+      .repartition(par, col("__id"))
+    val allBanded = withSig.select(col("__id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("__sig"), lit(16) * b)
           .bitwiseAND(lit(0xFFFFL))))
         .as(Seq("__band", "__key")))
+    // degenerate-bucket cap, same rationale as minhashDupPairs
+    val hot = allBanded.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") > maxBucket)
+    val banded = allBanded.join(broadcast(hot), Seq("__band", "__key"), "left_anti")
     val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"), col("__sig").as("__sa"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"), col("__sig").as("__sb"))
     a.join(b, Seq("__band", "__key"))

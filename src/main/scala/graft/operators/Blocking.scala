@@ -19,28 +19,68 @@ object Blocking {
 
   def compositeKey(cols: Column*): Column = xxhash64(cols: _*)
 
-  /** Token n-gram shingles of a text column (lowercased, whitespace-split). */
-  def tokenShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  /** Token n-gram shingles from an already-materialized token ARRAY column
+    * (pass an attribute, not a derived expression — HOF lambdas re-evaluate
+    * derived subexpressions per element).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
       s => length(s) > 0)
-  }
 
-  /** MinHash signature: for seed i, min over shingles of xxhash64(shingle, i). */
+  /** Token n-gram shingles of a text column (lowercased, whitespace-split).
+    * Convenience form; inlines the split into the lambda, so use only where
+    * the column is evaluated once per row (small inputs / tests).
+    */
+  def tokenShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(split(lower(trim(text)), "\\s+"), n)
+
+  /** MinHash signature: for seed i, min over shingles of xxhash64(shingle, i).
+    *
+    * Expression form (higher-order functions) — fine for one-off column use,
+    * but NOTE: Spark evaluates HOF lambdas interpreted and re-evaluates
+    * non-lambda subexpressions per array element, so nesting this inside
+    * further expressions multiplies work. The scale path is
+    * [[minhashBandKeys]] (explode + codegen'd min-aggregates).
+    */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(1), lit(numHashes)),
       i => array_min(transform(shingles, s => xxhash64(s, i))))
 
-  /** LSH band keys from a MinHash signature: `bands` keys, each hashing
-    * `rowsPerBand` consecutive signature entries. Two texts share a band key
-    * with probability ~ 1-(1-J^r)^b. Returned as an array; explode + group to
-    * block on it.
+  /** LSH band keys from a MinHash signature array (same caveat as
+    * [[minhashSignature]]).
     */
   def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, concat_ws(",", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Scale-path MinHash banding: input (idCol, shingle array column) ->
+    * output (idCol, __band, __key), one row per (doc, band).
+    *
+    * Shape: explode shingles -> one hash aggregate computing all `numHashes`
+    * minima per doc (whole-stage codegen, map-side combined) -> band keys as
+    * plain column hashes -> posexplode. No per-element lambda re-evaluation
+    * anywhere; cost is O(total shingles * numHashes) hash ops inside
+    * codegen.
+    */
+  def minhashBandKeys(
+      docsWithShingles: DataFrame,
+      idCol: String,
+      shingleCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val exploded = docsWithShingles
+      .select(col(idCol), explode(col(shingleCol)).as("__s"))
+    val aggs = (1 to numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
+    val sig = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val keys = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (1 to rows).map(r => col(s"__h${b * rows + r}"))): _*)
+    }
+    sig.select(col(idCol), posexplode(array(keys: _*)).as(Seq("__band", "__key")))
+  }
 
   /** Per-block sizes — the skew diagnostic feeding capping decisions. */
   def blockSizes(df: DataFrame, key: Column): DataFrame =

@@ -97,42 +97,46 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     val par = spark.sparkContext.defaultParallelism
-    val rows = numHashes / bands
-    // One row per doc: id, distinct shingles, band keys — computed once.
-    // The repartition AFTER the projection is load-bearing: an Exchange is a
-    // hard materialization boundary, so the (interpreted, O(text)) shingle +
-    // signature expressions run exactly once per doc; without it the
-    // optimizer can substitute them past the join and re-evaluate per
-    // candidate pair.
-    val sh = docs
+    // Tokens split once per doc, parallelized (a single parquet file would
+    // otherwise run the whole projection on one task); shingles built from
+    // the materialized token attribute; a second exchange materializes the
+    // shingle arrays so downstream consumers read them instead of
+    // re-deriving from text.
+    val toks = docs
       .select(col(idCol).as("__id"),
-        distinctShingles(col(textCol), shingleSize).as("__sh"))
-      .withColumn("__bands",
-        Blocking.bandKeys(Blocking.minhashSignature(col("__sh"), numHashes), bands, rows))
+        split(normalizeText(col(textCol)), " ").as("__toks"))
       .repartition(par, col("__id"))
-    val keyed = sh.select(col("__id"), col("__sh"),
-      posexplode(col("__bands")).as(Seq("__band", "__key")))
+    val sh = toks
+      .select(col("__id"),
+        array_distinct(Blocking.shinglesFromTokens(col("__toks"), shingleSize)).as("__sh"))
+      .repartition(par, col("__id"))
+    // MinHash signature + band keys via explode + codegen'd min-aggregates
+    // (the scale path — no interpreted lambda nesting)
+    val keyed = Blocking.minhashBandKeys(sh, "__id", "__sh", numHashes, bands)
     // Cap pathological buckets: a band key shared by thousands of docs is a
     // degenerate (information-free) bucket whose self-join output is
     // quadratic in ONE sort-merge group. Standard LSH practice: drop them.
-    val bucketSizes = keyed.groupBy("__band", "__key")
+    val hot = keyed.groupBy("__band", "__key")
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket)
-    val pruned = keyed.join(broadcast(bucketSizes), Seq("__band", "__key"), "left_anti")
-    val a = pruned.select(col("__band"), col("__key"), col("__id").as("id_a"),
-      col("__sh").as("__sa"))
-    val b = pruned.select(col("__band"), col("__key"), col("__id").as("id_b"),
-      col("__sh").as("__sb"))
-    a.join(b, Seq("__band", "__key"))
+    val pruned = keyed.join(broadcast(hot), Seq("__band", "__key"), "left_anti")
+    val cands = pruned.select(col("__band"), col("__key"), col("__id").as("id_a"))
+      .join(pruned.select(col("__band"), col("__key"), col("__id").as("id_b")),
+        Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // verify candidates against the true shingle Jaccard
+    cands
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
       .select(col("id_a"), col("id_b"), jaccardArrays(col("__sa"), col("__sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(first("jaccard").as("jaccard")) // dedupe multi-band hits
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote of token
-    * hashes, pure column arithmetic (no UDF). The 64 aggregate() lambdas are
-    * interpreted — simhash is computed once per row, never per pair.
+    * hashes, pure column arithmetic (no UDF). Expression form for one-off
+    * column use; [[simhashTable]] is the explode+aggregate scale path.
     */
   def simhash64(text: Column): Column = {
     val hashes = transform(split(normalizeText(text), " "), t => xxhash64(t))
@@ -142,6 +146,28 @@ object Dedup {
         (acc, h) => acc + shiftrightunsigned(h, bit).bitwiseAND(lit(1L)))
       when(votes * 2 > n.cast("long"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** (id, simhash) via explode + one codegen'd hash aggregate computing the
+    * 64 per-bit vote sums — the scale path for [[simhash64]].
+    */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val exploded = docs
+      .select(col(idCol).as("__id"), col(textCol))
+      .repartition(par, col("__id"))
+      .select(col("__id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+    val aggs = (0 until 64).map { bit =>
+      sum(shiftrightunsigned(col("__h"), bit).bitwiseAND(lit(1L))).as(s"__b$bit")
+    } :+ count(lit(1)).as("__n")
+    val votes = exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until 64).map { bit =>
+      when(col(s"__b$bit") * 2 > col("__n"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("__id"), sig.as("__sig"))
   }
 
   /** SimHash near-dup candidate pairs: block on bit-bands of the simhash
@@ -154,11 +180,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val spark = docs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val withSig = docs
-      .select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
-      .repartition(par, col("__id"))
+    val withSig = simhashTable(docs, idCol, textCol)
     val allBanded = withSig.select(col("__id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("__sig"), lit(16) * b)

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.config._
+import graft.operators._
+import graft.sources.WebCorpus
+
+class CheckpointsSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  test("materialize writes once, records per-partition lineage, and resumes") {
+    val root = tmpRoot()
+    var computeCount = 0
+    def stage() = {
+      computeCount += 1
+      spark.range(100).toDF("id")
+    }
+    val first = Checkpoints.materialize(spark, root, "s1")(stage())
+    assert(first.count() == 100)
+    assert(computeCount == 1)
+    val info = Checkpoints.readInfo(root, "s1").get
+    assert(info.rows == 100)
+    assert(info.perPartitionRows.sum == 100)
+    assert(info.partitions == info.perPartitionRows.size)
+    // resume: the stage body must NOT run again
+    val second = Checkpoints.materialize(spark, root, "s1")(stage())
+    assert(second.count() == 100)
+    assert(computeCount == 1)
+  }
+
+  test("resumable link-and-cluster completes and resumes mid-pipeline") {
+    val root = tmpRoot()
+    val params = WebCorpus.Params(nBase = 400, dupFraction = 0.3, nHosts = 10)
+    val pages = WebCorpus.pages(spark, params)
+      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
+    val cfg = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"),
+      col("n_tokens"), col("block"))
+    val clusters = Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), root)
+    val n1 = clusters.count()
+    assert(n1 > 0)
+    assert(Seq("gammas", "patterns", "matches", "clusters")
+      .forall(Checkpoints.isComplete(root, _)))
+    // simulate a crash after the gamma stage: delete downstream checkpoints
+    def rmStage(s: String): Unit = {
+      val d = Paths.get(s"$root/$s")
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    rmStage("matches"); rmStage("clusters")
+    val resumed = Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), root)
+    assert(resumed.count() == n1)
+    // gamma lineage metadata survived the resume untouched
+    assert(Checkpoints.readInfo(root, "gammas").get.rows ==
+      Checkpoints.readInfo(root, "gammas").get.perPartitionRows.sum)
+  }
+}

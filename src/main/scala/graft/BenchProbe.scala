@@ -34,10 +34,18 @@ object BenchProbe {
   }
   var listener: StageStats = _
 
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   def timed(label: String)(f: => Any): Unit = {
     val t0 = System.nanoTime()
+    val g0 = gcMillis
     val r = f
-    System.err.println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    System.err.println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+      f"gc=${(gcMillis - g0) / 1000.0}%6.2f s  ($r)")
     if (listener != null) listener.dumpAndReset()
   }
 
@@ -95,8 +103,12 @@ object BenchProbe {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(s"probe-$cpus")
-        .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+        .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
         .config("spark.sql.adaptive.enabled", "true")
+        // pair-generation stages are join-OUTPUT-dominated: AQE's
+        // input-bytes-based coalescing would merge them onto a handful of
+        // tasks (tiny input, quadratic output)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")

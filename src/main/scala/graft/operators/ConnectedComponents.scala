@@ -27,6 +27,24 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // CC iterations are input-bytes-dominated (narrow long pairs), the
+    // opposite of the pair-generation stages — AQE partition coalescing is
+    // the right policy here even when the caller disabled it globally for
+    // the output-dominated join stages. Scoped override, restored on exit.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "true")
+    try runInternal(edges, maxIter, reliable)
+    finally prevCoalesce match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None    => spark.conf.unset(coalesceKey)
+    }
+  }
+
+  private def runInternal(edges: DataFrame, maxIter: Int, reliable: Boolean): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
     def checkpoint(df: DataFrame): DataFrame = {
       val out = if (reliable) df.checkpoint() else df.localCheckpoint()
       out

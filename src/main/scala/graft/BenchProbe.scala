@@ -77,8 +77,8 @@ object BenchProbe {
       specs, Seq("block"), maxBlockRows = Some(1000L))
     timed("pair count (join only)")(pairs.count())
     val withG = Gamma.addGammaColumns(pairs, specs)
-    val narrow = withG
-      .select((Seq("id_a", "id_b") ++ specs.map(s => "gamma_" + s.varname)).map(col): _*)
+    val narrowCols = (Seq("id_a", "id_b") ++ specs.map(s => "gamma_" + s.varname)).map(col)
+    val narrow = withG.select(narrowCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     timed("gamma+persist pass (count)")(narrow.count())
     val agg = Patterns.aggregate(narrow, specs.map(_.varname))
@@ -93,7 +93,6 @@ object BenchProbe {
     var comps: DataFrame = null
     timed("CC")({ comps = ConnectedComponents.clusterPairs(matched); comps.count() })
     timed("cluster count")(comps.select(countDistinct("component")).head().getLong(0))
-    narrow.unpersist()
   }
 
   def main(args: Array[String]): Unit = {

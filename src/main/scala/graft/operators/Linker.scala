@@ -120,7 +120,8 @@ object Linker {
       blockCols: Seq[String] = Nil,
       autoDistinctRewrite: Boolean = false,
       persist: Boolean = true,
-      maxBlockRows: Option[Long] = None): LinkResult = {
+      maxBlockRows: Option[Long] = None,
+      persistPath: Option[String] = None): LinkResult = {
     val spark = dfA.sparkSession
     val allSpecs = cfg.comparisons.allVariables
     val nA = dfA.count()
@@ -138,19 +139,27 @@ object Linker {
     pairs = Gamma.addGammaColumns(pairs, plainSpecs)
     pairs = rewriteSpecs.foldLeft(pairs)((p, s) => Gamma.addGammaColumnDistinct(p, s))
 
-    // Drop the compared columns and persist (ids + gammas [+ tf]) — the
+    // Drop the compared columns and materialize (ids + gammas [+ tf]) — the
     // Spark analogue of the reference's DiBitMatrix + drop-column-after-
     // kernel discipline (fastlink.jl:109-113): comparisons run exactly once,
-    // and the EM/threshold passes re-read a narrow columnar cache (bytes per
-    // pair) instead of re-running the join + kernels. MEMORY_AND_DISK: at
-    // cluster scale this spills / doubles as the resume checkpoint.
+    // and the EM/threshold passes re-read a narrow columnar table (bytes per
+    // pair) instead of re-running the join + kernels. Default: in-memory
+    // columnar cache (spills to disk); with `persistPath` the table lands in
+    // Parquet instead and doubles as the resumable stage checkpoint
+    // (see Checkpoints for the full resume flow).
     if (persist) {
       val keep = Seq("id_a", "id_b") ++
         allSpecs.map(s => Gamma.gammaColName(s.varname)) ++
         allSpecs.filter(_.tfAdjust).flatMap(s =>
           Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)))
-      pairs = pairs.select(keep.map(col): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val narrow = pairs.select(keep.map(col): _*)
+      pairs = persistPath match {
+        case Some(dir) =>
+          narrow.write.mode("overwrite").parquet(dir)
+          spark.read.parquet(dir)
+        case None =>
+          narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }
 
     // leaf-first stages (reference H1-H3)

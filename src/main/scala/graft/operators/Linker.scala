@@ -88,22 +88,32 @@ object Linker {
       case None =>
         a.join(b, blockCols, "inner").drop(blockCols: _*)
       case Some(cap) =>
+        // Two-sided salting: rows of an oversized block land in a
+        // ns x ns grid of cells of ~cap^2 pairs each (balanced tasks); a row
+        // with salt s on its own side is replicated across the other side's
+        // ns salts. Every (a,b) pair appears in exactly one cell:
+        // (x = salt(a), y = salt(b)).
         val oversized = b.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > cap)
           .withColumn("__ns", ceil(col("__bn") / cap.toDouble).cast("int"))
           .drop("__bn")
-        val bS = b.join(broadcast(oversized), blockCols, "left")
-          .withColumn("__salt",
-            when(col("__ns").isNull, lit(0))
-              .otherwise(pmod(xxhash64(col("id_b")), col("__ns").cast("long")).cast("int")))
-          .drop("__ns")
         val aS = a.join(broadcast(oversized), blockCols, "left")
-          .withColumn("__salt",
+          .withColumn("__x",
+            when(col("__ns").isNull, lit(0))
+              .otherwise(pmod(xxhash64(col("id_a")), col("__ns").cast("long")).cast("int")))
+          .withColumn("__y",
             explode(sequence(lit(0), coalesce(col("__ns"), lit(1)) - 1)))
           .drop("__ns")
-        aS.join(bS, blockCols :+ "__salt", "inner")
-          .drop("__salt").drop(blockCols: _*)
+        val bS = b.join(broadcast(oversized), blockCols, "left")
+          .withColumn("__y",
+            when(col("__ns").isNull, lit(0))
+              .otherwise(pmod(xxhash64(col("id_b")), col("__ns").cast("long")).cast("int")))
+          .withColumn("__x",
+            explode(sequence(lit(0), coalesce(col("__ns"), lit(1)) - 1)))
+          .drop("__ns")
+        aS.join(bS, blockCols ++ Seq("__x", "__y"), "inner")
+          .drop("__x", "__y").drop(blockCols: _*)
     }
   }
 

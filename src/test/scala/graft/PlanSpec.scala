@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.config._
+import graft.operators._
+
+/** Physical-plan assertions: the plans we ship are the plans we want —
+  * filters reach the parquet scan, projection prunes columns, the
+  * similarity kernels run inside WholeStageCodegen, the tiny pattern table
+  * broadcast-joins, and the salted pair join keeps every pair.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(plan: org.apache.spark.sql.DataFrame): String =
+    plan.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("l_extendedprice"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("gamma stage runs inside WholeStageCodegen (native expressions, no UDFs)") {
+    import spark.implicits._
+    val a = Seq(("x", "MARTHA", 1.0), ("y", "DWAYNE", 2.0)).toDF("id_a", "name_a", "v_a")
+    val b = Seq(("z", "MARHTA", 1.5)).toDF("id_b", "name_b", "v_b")
+    val pairs = a.crossJoin(b)
+    val withG = Gamma.addGammaColumns(pairs,
+      Seq(VariableSpec("name", "jarowinkler"), VariableSpec("v", "numeric", cutA = 1, cutB = 2)))
+    withG.collect() // finalize the adaptive plan
+    val plan = formatted(withG)
+    // "*(n)" prefixes mark operators inside WholeStageCodegen stage n; the
+    // gamma Project must carry one
+    assert("""\*\(\d+\) Project \[""".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // and the expression actually evaluates through codegen
+    val row = withG.filter($"id_a" === "x").select("gamma_name").head()
+    assert(row.getByte(0) == 2) // jw(MARTHA,MARHTA)=0.9611 >= 0.92
+  }
+
+  test("pattern stats attach is a broadcast join, not a shuffle join") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 2.toByte), (3L, 4L, 0.toByte)).toDF("id_a", "id_b", "gamma_x")
+    val em = EmLink.run(
+      Seq(EmLink.Pattern(Array(2), 5), EmLink.Pattern(Array(0), 95)),
+      (10L, 10L), Seq("x"))
+    val attached = Patterns.attach(pairs, Patterns.statsDf(spark, em), Seq("x"))
+    val plan = formatted(attached)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("salted pair join preserves every pair exactly once") {
+    import spark.implicits._
+    // one hot block (50 rows) + one small block (5 rows)
+    val rows = (1 to 50).map(i => (i.toLong, s"hot", s"n$i")) ++
+      (1 to 5).map(i => (100L + i, s"cold", s"m$i"))
+    val df = rows.toDF("id", "block", "name")
+    val cfg = MatchConfig("ida", "idb", comparisons =
+      ComparisonGroup("g", Seq(VariableSpec("name", "exact"))))
+    def side(id: String) = df.select(col("id").as(id), col("name"), col("block"))
+    val specs = cfg.comparisons.allVariables
+    val plain = Linker.buildPairs(side("ida"), side("idb"), cfg, specs, Seq("block"), None)
+    val salted = Linker.buildPairs(side("ida"), side("idb"), cfg, specs, Seq("block"), Some(10L))
+    assert(plain.count() == 50L * 50 + 5L * 5)
+    assert(salted.count() == plain.count())
+    // identical pair multiset
+    val p1 = plain.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val p2 = salted.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(p1.sameElements(p2))
+  }
+
+  test("pattern aggregation is a partial+final hash aggregate") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 2.toByte, 0.toByte)).toDF("id_a", "id_b", "gamma_x", "gamma_y")
+    val agg = Patterns.aggregate(pairs, Seq("x", "y"))
+    val plan = formatted(agg)
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("distinct-value rewrite broadcasts the scored distinct table") {
+    import spark.implicits._
+    val pairs = Seq(("a", "MARTHA", "MARHTA"), ("b", "MARTHA", "MARHTA"))
+      .toDF("k", "name_a", "name_b")
+    val rewritten = Gamma.addGammaColumnDistinct(pairs, VariableSpec("name", "jarowinkler"))
+    val plan = formatted(rewritten)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}

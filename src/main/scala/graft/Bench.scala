@@ -95,7 +95,7 @@ object Bench {
     // BASELINE.md.
     val cpus4N = math.min(cpus, 16)
     val cpusN = math.max(cpus4N / 4, 1)
-    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "120000").toLong
+    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "100000").toLong
     val nHosts = 60
 
     // ---- phase 1: per-query timings at full parallelism ----
@@ -116,14 +116,14 @@ object Bench {
     spark.stop()
 
     spark = session(cpus4N)
-    linkAndCluster(spark, 10000, 20) // session warmup
+    linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
     val ((nPairs4N, nMatched, nClusters), sec4N) =
       timed(linkAndCluster(spark, benchBase, nHosts))
     System.err.println(f"[bench] 4N=$cpus4N cores: $sec4N%.1f s")
     spark.stop()
 
     spark = session(cpusN)
-    linkAndCluster(spark, 10000, 20) // session warmup
+    linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
     val ((nPairsN, _, _), secN) = timed(linkAndCluster(spark, benchBase, nHosts))
     System.err.println(f"[bench] N=$cpusN cores: $secN%.1f s")
     spark.stop()

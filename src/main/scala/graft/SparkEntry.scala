@@ -44,6 +44,10 @@ object SparkEntry {
       .cast("int")
   private def gammaExact(a: Column, b: Column): Column =
     when(a.isNull || b.isNull, lit(3)).when(a === b, lit(2)).otherwise(lit(0)).cast("int")
+  private def gammaSim(sim: Column, a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(3))
+      .when(round(sim, 4) >= 0.92, lit(2)).when(round(sim, 4) >= 0.88, lit(1))
+      .otherwise(lit(0)).cast("int")
 
   private val jwSql =
     "round(jaro_winkler_similarity(%s, %s), 4)"
@@ -57,6 +61,15 @@ object SparkEntry {
       s"WHEN abs($a - $b) <= $cutB THEN 1 ELSE 0 END)"
   private def gammaExactSql(a: String, b: String): String =
     s"(CASE WHEN $a IS NULL OR $b IS NULL THEN 3 WHEN $a = $b THEN 2 ELSE 0 END)"
+  /** normalized edit-distance similarity = 1 - dist/max(len), both-empty = 1 */
+  private def editSimSql(fn: String, a: String, b: String): String =
+    s"round(CASE WHEN greatest(length($a), length($b)) = 0 THEN 1.0 " +
+      s"ELSE 1.0 - $fn($a, $b) * 1.0 / greatest(length($a), length($b)) END, 4)"
+  private def gammaEditSql(fn: String, a: String, b: String): String = {
+    val sim = editSimSql(fn, a, b)
+    s"(CASE WHEN $a IS NULL OR $b IS NULL THEN 3 WHEN $sim >= 0.92 THEN 2 " +
+      s"WHEN $sim >= 0.88 THEN 1 ELSE 0 END)"
+  }
 
   private val pairsSql =
     """FROM customer a JOIN customer b
@@ -198,6 +211,20 @@ object SparkEntry {
         .groupBy("gamma").agg(count(lit(1)).as("n"))
         .orderBy("gamma")
     }),
+    "q_gamma_lv" -> ((s, dir) => {
+      customerPairs(s, dir)
+        .select(gammaSim(GraftFunctions.levenshteinSim(col("name_a"), col("name_b")),
+          col("name_a"), col("name_b")).as("gamma"))
+        .groupBy("gamma").agg(count(lit(1)).as("n"))
+        .orderBy("gamma")
+    }),
+    "q_gamma_dl" -> ((s, dir) => {
+      customerPairs(s, dir)
+        .select(gammaSim(GraftFunctions.damerauLevenshteinSim(col("name_a"), col("name_b")),
+          col("name_a"), col("name_b")).as("gamma"))
+        .groupBy("gamma").agg(count(lit(1)).as("n"))
+        .orderBy("gamma")
+    }),
     "q_patterns" -> ((s, dir) => {
       customerPairs(s, dir)
         .select(
@@ -303,6 +330,27 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs, brute-force (oracle-expressible)
+      // form; the SRP-LSH scale path over the same kernel is unit-tested
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.bruteForceDupPairs(e, "vec_id", "v", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF plumbing with exhaustive probe (nProbe = nCells) — exactly
+      // brute-force top-k, so it shares q_ann_topk's oracle; the
+      // partial-probe recall path is unit-tested (TextOpsSpec)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 30), "vec_id", "embedding",
+        k = 3, nCells = 8, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
     "q_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 200)
       d.select(
@@ -374,6 +422,12 @@ object SparkEntry {
     "q_gamma_jw" ->
       s"""SELECT ${gammaJwSql("a.c_name", "b.c_name")} AS gamma,
          | count(*) AS n $pairsSql GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gamma_lv" ->
+      s"""SELECT ${gammaEditSql("levenshtein", "a.c_name", "b.c_name")} AS gamma,
+         | count(*) AS n $pairsSql GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gamma_dl" ->
+      s"""SELECT ${gammaEditSql("damerau_levenshtein", "a.c_name", "b.c_name")} AS gamma,
+         | count(*) AS n $pairsSql GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_patterns" ->
       s"""SELECT ${gammaJwSql("a.c_name", "b.c_name")} AS gamma_name,
          | ${gammaNumSql("a.c_acctbal", "b.c_acctbal", 100, 500)} AS gamma_bal,
@@ -425,6 +479,25 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin
     },
     "q_ann_topk" ->
+      """SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(cast(q.embedding AS double[]),
+        |                         cast(c.embedding AS double[])) AS cosine,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(cast(q.embedding AS double[]),
+        |             cast(c.embedding AS double[])) DESC, c.vec_id ASC) AS rank
+        | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        | WHERE q.vec_id < 30)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(cast(a.embedding AS double[]),
+        |                              cast(b.embedding AS double[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(cast(a.embedding AS double[]),
+        |                             cast(b.embedding AS double[])) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+    "q_ann_ivf" ->
       """SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  list_cosine_similarity(cast(q.embedding AS double[]),

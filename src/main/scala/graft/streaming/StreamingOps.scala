@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.textops.Dedup
+
+/** Structured Streaming surface: the incremental versions of the batch
+  * pipeline's front ends. The reference engine is batch-only (SURVEY.md
+  * §2.9), but a web-scale ingest is a stream — these operators make the
+  * dedup / profiling stages incremental without changing their semantics.
+  *
+  * Scale shape: `firstSeenByText` state is partitioned by text-hash key
+  * (HDFS/RocksDB state store on a real cluster), so state size is
+  * O(distinct documents) spread across executors; `windowedLangCounts` is a
+  * standard watermarked streaming aggregation whose state is bounded by the
+  * watermark horizon.
+  */
+object StreamingOps {
+
+  case class KeyedDoc(key: String, id: Long, text: String)
+
+  /** Stateful streaming exact-dedup: emits only the FIRST document seen per
+    * normalized-text hash (within a batch, the lowest id wins —
+    * deterministic). Duplicate arrivals in any later micro-batch are
+    * suppressed by per-key state. The streaming twin of
+    * [[graft.textops.Dedup.dropExactDuplicates]].
+    */
+  def firstSeenByText(docs: DataFrame, idCol: String, textCol: String): Dataset[KeyedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(
+      md5(Dedup.normalizeText(col(textCol))).as("key"),
+      col(idCol).cast("long").as("id"),
+      col(textCol).as("text")).as[KeyedDoc]
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[KeyedDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.id))
+          })
+  }
+
+  /** Watermarked tumbling-window ingest profile: documents per (window,
+    * lang). Late data beyond `watermarkDelay` is dropped and the window
+    * state evicted — bounded state at any corpus rate.
+    */
+  def windowedLangCounts(
+      docs: DataFrame,
+      tsCol: String,
+      langCol: String,
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(langCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col(langCol), col("n_docs"))
+}

@@ -83,6 +83,73 @@ object Similarity {
     a.join(b, "__bucket").filter(col("id_a") < col("id_b"))
   }
 
+  /** Brute-force cosine-threshold pairs (id_a < id_b). The oracle-expressible
+    * form of embedding near-dup detection; [[Dedup.embeddingDupPairs]] is the
+    * LSH-bucketed scale path over the same kernel.
+    */
+  def bruteForceDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF (inverted-file) ANN: the corpus is assigned once to its nearest of
+    * `nCells` coarse centroids; each query probes only its `nProbe` nearest
+    * cells. With `nProbe = nCells` the search is exhaustive (= brute force);
+    * smaller `nProbe` trades recall for touching 1/nCells of the corpus per
+    * probe — the 100 TB path, where the cell assignment is a one-off batch
+    * job and queries join against a cell-partitioned (bucketed) corpus.
+    *
+    * Centroids are deterministic: the `nCells` lowest-id vectors (a k-means
+    * iteration could refine them; selection is orthogonal to the plan shape).
+    * Both assignment joins broadcast the tiny centroid table — the corpus
+    * never shuffles except for the final per-query top-k window.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus
+      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent"))
+      .orderBy("__cent_id").limit(nCells)
+    def assign(df: DataFrame, id: String, v: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("__cos").desc, col("__cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("__cos", cosine(col(v), col("__cent")))
+        .withColumn("__p", row_number().over(w))
+        .filter(col("__p") <= probes)
+        .drop("__cos", "__p", "__cent")
+    }
+    val c = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", 1)
+    val q = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "query_id", "__qv", nProbe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // each corpus vector lives in exactly one cell, so (query, neighbor)
+    // appears at most once — no dedup needed after the cell join
+    c.join(q, "__cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Bucketed ANN top-k: probe only the query's SRP bucket. Trades recall
     * (misses cross-bucket neighbors) for a corpus-partition-local search —
     * the 100 TB path, with multi-probe left as a `planes`-1-bit-flip union.

@@ -85,6 +85,46 @@ class TextOpsSpec extends SparkSpec {
     assert(res(0).getDouble(3) > 0.999)
   }
 
+  test("IVF top-k: exhaustive probe equals brute force; partial probe keeps high recall") {
+    val n = 120
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0).cast("float"))
+        .as("embedding")).cache()
+    val queries = vecs.filter($"vec_id" < 10)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3))
+    val full = asSet(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 3,
+      nCells = 8, nProbe = 8))
+    assert(full == brute, "nProbe = nCells must be exhaustive")
+    val partial = asSet(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 3,
+      nCells = 8, nProbe = 3))
+    val recall = (partial & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@3 with 3/8 cells probed = $recall")
+  }
+
+  test("embedding dup pairs: brute-force threshold pairs; LSH path is a subset with the twin found") {
+    val n = 80
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0).cast("float"))
+        .as("embedding"))
+    val twin = vecs.filter($"vec_id" === 0)
+      .select(lit(1000L).as("vec_id"),
+        transform($"embedding", x => x + lit(0.001f)).as("embedding"))
+    val corpus = vecs.union(twin).cache()
+    val brute = Similarity.bruteForceDupPairs(corpus, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((0L, 1000L)))
+    val lsh = Dedup.embeddingDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.999, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH pairs must verify against the true cosine")
+    assert(lsh.contains((0L, 1000L)), "near-identical twin must share all SRP sign bits")
+  }
+
   test("language id identifies stopword-bearing text") {
     val samples = Seq(
       ("the cat and the dog walked to the park in the morning", "en"),

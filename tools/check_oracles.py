@@ -24,7 +24,7 @@ for name, sql in sorted(oracles.items()):
         continue
     try:
         sdf = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            f"SELECT * FROM read_parquet('{out_dir}/{name}.parquet')").fetchdf()
     except Exception as e:
         print(f"FAIL {name}: spark output missing {e}")
         fails += 1
@@ -57,5 +57,5 @@ for name, sql in sorted(oracles.items()):
     else:
         print(f"OK   {name}: {len(ns)} rows")
 print(f"\n{len(oracles) - fails}/{len(oracles)} oracle queries match; "
-      f"{len(glob.glob(out_dir + '/q*'))} queries total")
+      f"{len(glob.glob(out_dir + '/q*.parquet'))} queries total")
 sys.exit(1 if fails else 0)

@@ -115,17 +115,30 @@ object Bench {
     System.err.println("[bench] warmup done")
     spark.stop()
 
+    // Best-of-reps per level: run-to-run variance on this sandbox is up to
+    // ±30% (JIT / page-cache / machine state); min time is the standard
+    // robust throughput estimator.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    def bestOf(label: String): ((Long, Long, Long), Double) =
+      (1 to reps).map { i =>
+        // The corpus is deterministic, so a repeat run's logical plan is
+        // IDENTICAL to the previous rep's — Spark's CacheManager would serve
+        // the persisted pair table and the rep would measure a cache read,
+        // not the pipeline. Drop all cached data between reps.
+        spark.catalog.clearCache()
+        val r = timed(linkAndCluster(spark, benchBase, nHosts))
+        System.err.println(f"[bench] $label rep $i: ${r._2}%.1f s")
+        r
+      }.minBy(_._2)
+
     spark = session(cpus4N)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
-    val ((nPairs4N, nMatched, nClusters), sec4N) =
-      timed(linkAndCluster(spark, benchBase, nHosts))
-    System.err.println(f"[bench] 4N=$cpus4N cores: $sec4N%.1f s")
+    val ((nPairs4N, nMatched, nClusters), sec4N) = bestOf(s"4N=$cpus4N cores")
     spark.stop()
 
     spark = session(cpusN)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
-    val ((nPairsN, _, _), secN) = timed(linkAndCluster(spark, benchBase, nHosts))
-    System.err.println(f"[bench] N=$cpusN cores: $secN%.1f s")
+    val ((nPairsN, _, _), secN) = bestOf(s"N=$cpusN cores")
     spark.stop()
 
     val thr4N = nPairs4N / sec4N

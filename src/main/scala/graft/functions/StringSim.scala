@@ -365,11 +365,116 @@ object StringSim {
       1.0 - prev(len2).toDouble / maxLen
     } else levenshteinSim(a.toString, b.toString)
   }
-  def osaSimUTF8(a: UTF8String, b: UTF8String): Double = osaSim(a.toString, b.toString)
-  def damerauLevenshteinSimUTF8(a: UTF8String, b: UTF8String): Double =
-    damerauLevenshteinSim(a.toString, b.toString)
-  def hammingSimUTF8(a: UTF8String, b: UTF8String): Double =
-    hammingSim(a.toString, b.toString)
+  private val scratchInt3 = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](ScratchCap + 1)
+  }
+
+  def osaSimUTF8(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (asciiOnly(a) && asciiOnly(b) &&
+        a.numBytes() <= ScratchCap && b.numBytes() <= ScratchCap) {
+      val len1 = a.numBytes()
+      val len2 = b.numBytes()
+      val maxLen = math.max(len1, len2)
+      if (maxLen == 0) return 1.0
+      if (len1 == 0 || len2 == 0) return 0.0
+      var prev2 = scratchInt1.get()
+      var prev = scratchInt2.get()
+      var cur = scratchInt3.get()
+      var j = 0
+      while (j <= len2) { prev(j) = j; j += 1 }
+      var i = 1
+      while (i <= len1) {
+        cur(0) = i
+        val c1 = a.getByte(i - 1)
+        j = 1
+        while (j <= len2) {
+          val cost = if (c1 == b.getByte(j - 1)) 0 else 1
+          var d = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+          if (i > 1 && j > 1 && c1 == b.getByte(j - 2) && a.getByte(i - 2) == b.getByte(j - 1))
+            d = math.min(d, prev2(j - 2) + 1)
+          cur(j) = d
+          j += 1
+        }
+        val tmp = prev2; prev2 = prev; prev = cur; cur = tmp
+        i += 1
+      }
+      1.0 - prev(len2).toDouble / maxLen
+    } else osaSim(a.toString, b.toString)
+  }
+
+  // Unrestricted DL needs a full (len1+2)x(len2+2) matrix; cap the scratch
+  // path at 256 bytes (names/titles — the compared fields — are short) and
+  // fall back to the String version above it.
+  private final val DlCap = 256
+  private val dlMatrix = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int]((DlCap + 2) * (DlCap + 2))
+  }
+  private val dlLastRow = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](128)
+  }
+
+  def damerauLevenshteinSimUTF8(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (asciiOnly(a) && asciiOnly(b) && a.numBytes() <= DlCap && b.numBytes() <= DlCap) {
+      val len1 = a.numBytes()
+      val len2 = b.numBytes()
+      val maxLen = math.max(len1, len2)
+      if (maxLen == 0) return 1.0
+      if (len1 == 0 || len2 == 0) return 0.0
+      val stride = len2 + 2
+      val d = dlMatrix.get()
+      val lastRow = dlLastRow.get()
+      java.util.Arrays.fill(lastRow, 0)
+      val inf = len1 + len2
+      d(0) = inf
+      var i = 0
+      while (i <= len1) { d((i + 1) * stride + 1) = i; d((i + 1) * stride) = inf; i += 1 }
+      var j = 0
+      while (j <= len2) { d(stride + j + 1) = j; d(j + 1) = inf; j += 1 }
+      i = 1
+      while (i <= len1) {
+        val c1 = a.getByte(i - 1)
+        var lastMatchCol = 0
+        val rowPrev = i * stride
+        val rowCur = (i + 1) * stride
+        j = 1
+        while (j <= len2) {
+          val c2 = b.getByte(j - 1)
+          val last = lastRow(c2)
+          val cost = if (c1 == c2) 0 else 1
+          val sub = d(rowPrev + j) + cost
+          val ins = d(rowCur + j) + 1
+          val del = d(rowPrev + j + 1) + 1
+          val trans = d(last * stride + lastMatchCol) + (i - last - 1) + 1 + (j - lastMatchCol - 1)
+          d(rowCur + j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+          if (cost == 0) lastMatchCol = j
+          j += 1
+        }
+        lastRow(c1) = i
+        i += 1
+      }
+      1.0 - d((len1 + 1) * stride + len2 + 1).toDouble / maxLen
+    } else damerauLevenshteinSim(a.toString, b.toString)
+  }
+
+  def hammingSimUTF8(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    if (asciiOnly(a) && asciiOnly(b)) {
+      val len1 = a.numBytes()
+      val len2 = b.numBytes()
+      val maxLen = math.max(len1, len2)
+      if (maxLen == 0) return 1.0
+      val minLen = math.min(len1, len2)
+      var d = maxLen - minLen
+      var i = 0
+      while (i < minLen) {
+        if (a.getByte(i) != b.getByte(i)) d += 1
+        i += 1
+      }
+      1.0 - d.toDouble / maxLen
+    } else hammingSim(a.toString, b.toString)
+  }
   def ratcliffObershelpSimUTF8(a: UTF8String, b: UTF8String): Double =
     ratcliffObershelpSim(a.toString, b.toString)
 }

@@ -104,10 +104,46 @@ case class RatcliffObershelpSim(left: Expression, right: Expression)
   override def prettyName: String = "ratcliff_obershelp_sim"
 }
 
+/** Codegen vector kernels over array<double> columns — see [[VectorKernels]]
+  * for why these exist (interpreted HOF lambdas are O(pairs)-hostile).
+  */
+abstract class VectorExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  def staticMethod: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.$staticMethod($a, $b)")
+}
+
+case class CosineSim(left: Expression, right: Expression) extends VectorExpression {
+  override def staticMethod: String = "cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+case class DotProduct(left: Expression, right: Expression) extends VectorExpression {
+  override def staticMethod: String = "dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
 /** Column-level facade + SQL function registration. */
 object GraftFunctions {
   private def col(e: Expression): Column = columnOf(e)
   private def expr(c: Column): Expression = expressionOf(c.cast("string"))
+  private def exprVec(c: Column): Expression = expressionOf(c.cast("array<double>"))
+
+  def cosineSim(a: Column, b: Column): Column = col(CosineSim(exprVec(a), exprVec(b)))
+  def dotProduct(a: Column, b: Column): Column = col(DotProduct(exprVec(a), exprVec(b)))
 
   def jaroWinklerSim(a: Column, b: Column, p: Double = 0.1): Column =
     col(JaroWinklerSim(expr(a), expr(b), p))

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float/double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dot product of two array<float/double> columns. Codegen expression —
+    * the HOF form `aggregate(zip_with(a, b, _*_), 0.0, _+_)` evaluates its
+    * lambdas interpreted, which is O(pairs)-hostile on the joined side.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. The query side is broadcast (it is the small side by

@@ -87,6 +87,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("IVF cell assignment broadcasts the centroid table (corpus never shuffles to assign)") {
+    import graft.textops.Similarity
+    val vecs = spark.range(100).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(4)),
+        i => (pmod(xxhash64(col("id"), i), lit(100)).cast("double") / 100.0))
+        .as("embedding"))
+    val topk = Similarity.ivfTopK(vecs, vecs.limit(5), "vec_id", "embedding",
+      k = 2, nCells = 4, nProbe = 2)
+    val plan = formatted(topk)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan)
+    // no sort-merge join anywhere in the assignment path
+    assert(!plan.contains("SortMergeJoin") || plan.indexOf("SortMergeJoin") >
+      plan.indexOf("Broadcast"), plan)
+  }
+
   test("distinct-value rewrite broadcasts the scored distinct table") {
     import spark.implicits._
     val pairs = Seq(("a", "MARTHA", "MARHTA"), ("b", "MARTHA", "MARHTA"))

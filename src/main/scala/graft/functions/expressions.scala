@@ -125,6 +125,21 @@ case class CosineSim(left: Expression, right: Expression) extends VectorExpressi
   override def prettyName: String = "cosine_sim"
 }
 
+/** Codegen token-shingle expression — see [[TextKernels.shingles]]. */
+case class TokenShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "token_shingles"
+}
+
 case class DotProduct(left: Expression, right: Expression) extends VectorExpression {
   override def staticMethod: String = "dot"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -144,6 +159,8 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(exprVec(a), exprVec(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(exprVec(a), exprVec(b)))
+  def tokenShingles(toks: Column, n: Int): Column =
+    col(TokenShingles(expressionOf(toks.cast("array<string>")), n))
 
   def jaroWinklerSim(a: Column, b: Column, p: Double = 0.1): Column =
     col(JaroWinklerSim(expr(a), expr(b), p))

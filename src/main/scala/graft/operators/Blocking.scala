@@ -19,15 +19,14 @@ object Blocking {
 
   def compositeKey(cols: Column*): Column = xxhash64(cols: _*)
 
-  /** Token n-gram shingles from an already-materialized token ARRAY column
-    * (pass an attribute, not a derived expression — HOF lambdas re-evaluate
-    * derived subexpressions per element).
+  /** Token n-gram shingles from a token array column — a codegen'd native
+    * expression (graft.functions.TokenShingles); the equivalent HOF form
+    * (`filter(transform(sequence(...), i => concat_ws(" ", slice(...))))`)
+    * evaluates interpreted and re-evaluates subexpressions per element,
+    * ~2 ms/doc at 100-token documents.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => length(s) > 0)
+    graft.functions.GraftFunctions.tokenShingles(toks, n)
 
   /** Token n-gram shingles of a text column (lowercased, whitespace-split).
     * Convenience form; inlines the split into the lambda, so use only where

@@ -102,6 +102,16 @@ object Bench {
 
     // ---- phase 1: per-query timings at full parallelism ----
     var spark = session(cpus)
+    // JIT/reader warmup so the alphabetically-first query isn't charged the
+    // session's one-time costs (parquet reader, codegen compiler, shuffle
+    // machinery): touch every table and exercise a join+agg+window once.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    SparkEntry.queries("q3_topk_per_lang")(spark, sfDir).count()
+    SparkEntry.queries("q_gamma_jw")(spark, sfDir).count()
+    spark.catalog.clearCache()
+    System.err.println("[bench] phase-1 warmup done")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = timed {
         try fn(spark, sfDir).count()

@@ -96,8 +96,17 @@ object SparkEntry {
     s"(CASE $cases ELSE 'und' END)"
   }
 
-  /** EM over the 3-gamma customer pattern table (shared by q_em/q_matches). */
-  private def customerEm(s: SparkSession, dir: String): (Linker.LinkResult, DataFrame) = {
+  /** EM over the 3-gamma customer pattern table (shared by q_em/q_matches).
+    * Memoized per (session, dir): a user computes the EM once and both reads
+    * patterns and extracts matches from the same LinkResult — running
+    * q_em_patterns and q_matches in one session should not re-link.
+    */
+  private val emMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Linker.LinkResult, DataFrame)]()
+  private def customerEm(s: SparkSession, dir: String): (Linker.LinkResult, DataFrame) =
+    emMemo.computeIfAbsent((s, dir), _ => customerEmUncached(s, dir))
+
+  private def customerEmUncached(s: SparkSession, dir: String): (Linker.LinkResult, DataFrame) = {
     val c = t(s, dir, "customer")
     val cfg = MatchConfig(
       idA = "id_a", idB = "id_b",

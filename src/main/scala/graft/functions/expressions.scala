@@ -106,9 +106,15 @@ case class RatcliffObershelpSim(left: Expression, right: Expression)
 
 /** Codegen vector kernels over array<double> columns — see [[VectorKernels]]
   * for why these exist (interpreted HOF lambdas are O(pairs)-hostile).
+  * Declares input types so the analyzer coerces e.g. SQL decimal-literal
+  * arrays to array<double> before the kernel sees them.
   */
-abstract class VectorExpression extends BinaryExpression {
+abstract class VectorExpression extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(DoubleType))
   def staticMethod: String
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.$staticMethod($a, $b)")
@@ -127,7 +133,10 @@ case class CosineSim(left: Expression, right: Expression) extends VectorExpressi
 
 /** Codegen token-shingle expression — see [[TextKernels.shingles]]. */
 case class TokenShingles(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
   override protected def nullSafeEval(input: Any): Any =
@@ -190,5 +199,10 @@ object GraftFunctions {
     two("dl_sim", DamerauLevenshteinSim)
     two("hamming_sim", HammingSim)
     two("ro_sim", RatcliffObershelpSim)
+    two("cosine_sim", CosineSim)
+    two("dot_product", DotProduct)
+    reg.createOrReplaceTempFunction("token_shingles", {
+      case Seq(toks, n) => TokenShingles(toks, n.eval().toString.toInt)
+    }, "scala_udf")
   }
 }

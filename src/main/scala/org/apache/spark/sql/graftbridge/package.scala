@@ -9,4 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftbridge {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** `AbstractDataType` is private[sql]; re-exported for `inputTypes`
+    * declarations on graft's native expressions.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

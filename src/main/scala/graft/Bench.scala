@@ -40,12 +40,17 @@ object Bench {
     s
   }
 
-  /** The end-to-end link-and-cluster job. Returns (nComparisons, nMatched,
-    * nClusters). Comparable in per-pair work to the reference's published
-    * benchmark (6 variables: 4 fuzzy string + exact + numeric;
-    * /root/reference/src/benchmark.jl:22-62, all-pairs there, blocked here).
+  final case class RunStats(
+      nComparisons: Long, nMatched: Long, nClusters: Long, f1: Double)
+
+  /** The end-to-end link-and-cluster job. Comparable in per-pair work to the
+    * reference's published benchmark (6 variables: 4 fuzzy string + exact +
+    * numeric; /root/reference/src/benchmark.jl:22-62, all-pairs there,
+    * blocked here). Also scores pairwise F1 against the corpus's planted
+    * ground truth (cluster id = page_id / 1e6; duplicates always share the
+    * host+lang block, so truth pairs are all reachable at this blocking key).
     */
-  private def linkAndCluster(spark: SparkSession, nBase: Long, nHosts: Int): (Long, Long, Long) = {
+  private def linkAndCluster(spark: SparkSession, nBase: Long, nHosts: Int): RunStats = {
     val pages = WebCorpus.pages(spark, WebCorpus.Params(nBase = nBase, dupFraction = 0.25,
         nHosts = nHosts))
       .withColumn("toks", split(col("text"), " "))
@@ -75,8 +80,19 @@ object Bench {
     val matched = res.matches().filter(col("id_a") < col("id_b"))
     val comps = ConnectedComponents.clusterPairs(matched)
     val nClusters = comps.select(countDistinct("component")).head().getLong(0)
-    val nMatched = matched.count()
-    (nComparisons, nMatched, nClusters)
+    val counts = matched.agg(count(lit(1)).as("n"),
+      sum(when((col("id_a") / 1000000L).cast("long") ===
+        (col("id_b") / 1000000L).cast("long"), 1L).otherwise(0L)).as("tp")).head()
+    val nMatched = counts.getLong(0)
+    val tp = counts.getLong(1)
+    val truthPairs = pages
+      .groupBy((col("page_id") / 1000000L).cast("long").as("c"))
+      .agg(count(lit(1)).as("k"))
+      .agg(sum((col("k") * (col("k") - 1) / 2).cast("long"))).head().getLong(0)
+    val fp = nMatched - tp
+    val fn = truthPairs - tp
+    val f1 = if (tp == 0) 0.0 else 2.0 * tp / (2.0 * tp + fp + fn)
+    RunStats(nComparisons, nMatched, nClusters, f1)
   }
 
   private def timed[T](f: => T): (T, Double) = {
@@ -132,7 +148,7 @@ object Bench {
     // robust throughput estimator. The N-level run is long enough to
     // self-average, so it gets half the reps.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    def bestOf(label: String, n: Int): ((Long, Long, Long), Double) =
+    def bestOf(label: String, n: Int): (RunStats, Double) =
       (1 to n).map { i =>
         // The corpus is deterministic, so a repeat run's logical plan is
         // IDENTICAL to the previous rep's — Spark's CacheManager would serve
@@ -147,29 +163,31 @@ object Bench {
     // peak throughput at the widest sensible thread count
     spark = session(cpusPeak)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup
-    val ((nPairsPeak, nMatched, nClusters), secPeak) = bestOf(s"peak=$cpusPeak cores", 1)
+    val (peakStats, secPeak) = bestOf(s"peak=$cpusPeak cores", 1)
     spark.stop()
 
     spark = session(cpus4N)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
-    val ((nPairs4N, _, _), sec4N) = bestOf(s"4N=$cpus4N cores", reps)
+    val (stats4N, sec4N) = bestOf(s"4N=$cpus4N cores", reps)
     spark.stop()
 
     spark = session(cpusN)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
-    val ((nPairsN, _, _), secN) = bestOf(s"N=$cpusN cores", math.max(reps / 2, 1))
+    val (statsN, secN) = bestOf(s"N=$cpusN cores", math.max(reps / 2, 1))
     spark.stop()
 
-    val thr4N = nPairs4N / sec4N
-    val thrN = nPairsN / secN
-    val thrPeak = nPairsPeak / secPeak
+    val thr4N = stats4N.nComparisons / sec4N
+    val thrN = statsN.nComparisons / secN
+    val thrPeak = peakStats.nComparisons / secPeak
     val eff = (thr4N / thrN) / (cpus4N.toDouble / cpusN)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum + sec4N
     val linkage =
-      s"""{"n_comparisons":$nPairs4N,"n_matched":$nMatched,"n_clusters":$nClusters,""" +
+      s"""{"n_comparisons":${stats4N.nComparisons},"n_matched":${stats4N.nMatched},""" +
+        s""""n_clusters":${stats4N.nClusters},""" +
+        f""""pairwise_f1":${stats4N.f1}%.4f,""" +
         s""""cpus_n":$cpusN,"cpus_4n":$cpus4N,"cpus_peak":$cpusPeak,""" +
         f""""sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"sec_peak":$secPeak%.3f,""" +
         f""""pairs_per_sec_n":${thrN}%.0f,"pairs_per_sec_4n":${thr4N}%.0f,""" +

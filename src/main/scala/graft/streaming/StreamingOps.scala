@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.config.MatchConfig
+import graft.operators.{EmLink, Gamma, Patterns}
 import graft.textops.Dedup
 
 /** Structured Streaming surface: the incremental versions of the batch
@@ -42,6 +44,45 @@ object StreamingOps {
             state.update(true)
             Iterator.single(rows.minBy(_.id))
           })
+  }
+
+  /** Incremental linkage: link a STREAM of incoming records against a
+    * static reference table, scoring with EM parameters estimated offline by
+    * the batch engine ([[graft.operators.Linker.link]]). Per micro-batch:
+    * stream-static equi-join on the blocking columns (stateless — Spark
+    * re-plans the static side each batch), the same codegen gamma ladder as
+    * batch, then a broadcast join against the batch EM's tiny pattern table;
+    * rows with `zeta_j >= threshold` are emitted with their pattern stats.
+    *
+    * Scale shape: identical to one batch comparison pass — the only
+    * per-batch cost beyond the join is a broadcast of the <= 4^k pattern
+    * stats. Flat (non-hierarchical) configs only: child-stage binarization
+    * needs its own EM per stage, which is an offline (batch) concern.
+    */
+  def linkStream(
+      stream: DataFrame,
+      static: DataFrame,
+      cfg: MatchConfig,
+      em: EmLink.EmResult,
+      blockCols: Seq[String],
+      threshold: Option[Double] = None): DataFrame = {
+    require(cfg.comparisons.children.isEmpty,
+      "streaming linkage supports flat configs; run hierarchical stages in batch")
+    val spark = static.sparkSession
+    val specs = cfg.comparisons.allVariables
+    def side(df: DataFrame, id: String, suffix: String): DataFrame =
+      df.select(
+        (col(id).as(s"id$suffix") +:
+          (specs.map(s => col(s.varname).as(s"${s.varname}$suffix")) ++
+            blockCols.map(col))): _*)
+    val pairs = side(stream, cfg.idA, "_a")
+      .join(side(static, cfg.idB, "_b"), blockCols, "inner")
+      .drop(blockCols: _*)
+    val withG = Gamma.addGammaColumns(pairs, specs)
+    val t = threshold.getOrElse(em.thresholdMatch)
+    Patterns.attach(withG, Patterns.statsDf(spark, em), specs.map(_.varname))
+      .filter(col("zeta_j") >= t)
+      .drop(specs.flatMap(s => Seq(s"${s.varname}_a", s"${s.varname}_b")): _*)
   }
 
   /** Watermarked tumbling-window ingest profile: documents per (window,

@@ -29,6 +29,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental linkage: stream-static block join + batch EM weights") {
+    import graft.config._
+    import graft.operators.EmLink
+    implicit val sqlCtx = spark.sqlContext
+    // batch-estimated EM over a decisive pattern table: full agreement is a
+    // match, anything else is not
+    val em = EmLink.run(
+      Seq(
+        EmLink.Pattern(Array(2, 2), 50),
+        EmLink.Pattern(Array(2, 0), 100),
+        EmLink.Pattern(Array(0, 2), 100),
+        EmLink.Pattern(Array(0, 0), 10000)),
+      (200L, 200L), Seq("name", "num"))
+    assert(em.patterns.find(p => p.gammas.sameElements(Array(2, 2))).get.zeta > 0.9)
+    val cfg = MatchConfig(
+      idA = "sid", idB = "cid",
+      comparisons = ComparisonGroup("s", Seq(
+        VariableSpec("name", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("num", "numeric", cutA = 1, cutB = 2))))
+    val static = Seq(
+      (100L, "JOHNATHAN SMITH", 42.0, "b1"),
+      (101L, "MARIA GARCIA", 7.0, "b1"),
+      (102L, "WEI CHEN", 13.0, "b2")).toDF("cid", "name", "num", "block")
+    val input = MemoryStream[(Long, String, Double, String)]
+    val stream = input.toDF().toDF("sid", "name", "num", "block")
+    val out = StreamingOps.linkStream(stream, static, cfg, em, Seq("block"))
+    val q = out.writeStream.format("memory").queryName("linked")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "JONATHAN SMITH", 42.0, "b1"),  // jw(JOHNATHAN,JONATHAN..)>=0.92, num equal -> match
+        (2L, "ZZZZ YYYY", 99.0, "b1"),       // no agreement -> filtered
+        (3L, "WEI CHEN", 13.5, "b2"))        // exact-ish in other block -> match
+      q.processAllAvailable()
+      val rows = spark.table("linked").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 100L), (3L, 102L)), s"got $rows")
+      // second micro-batch keeps working (stateless join)
+      input.addData((4L, "MARIA GARCIA", 7.0, "b1"))
+      q.processAllAvailable()
+      assert(spark.table("linked").count() == 3)
+    } finally q.stop()
+  }
+
   test("watermarked windowed lang counts aggregate and finalize on watermark advance") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]

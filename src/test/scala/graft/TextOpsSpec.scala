@@ -85,6 +85,29 @@ class TextOpsSpec extends SparkSpec {
     assert(res(0).getDouble(3) > 0.999)
   }
 
+  test("multi-probe SRP dominates single-probe: best cosine per query never worse") {
+    val n = 150
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0).cast("float"))
+        .as("embedding")).cache()
+    val queries = vecs.filter($"vec_id" < 20)
+    def best(probeBits: Int): Map[Long, Double] =
+      Similarity.srpTopK(vecs, queries, "vec_id", "embedding", k = 1,
+          planes = 10, probeBits = probeBits)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val single = best(0)
+    val multi = best(1)
+    // multi-probe sees a superset of candidates per query
+    assert(multi.size >= single.size)
+    single.foreach { case (q, c) =>
+      assert(multi(q) >= c - 1e-12, s"query $q: multi ${multi(q)} < single $c")
+    }
+    // and strictly improves somewhere on this fixture (1-bit-away buckets exist)
+    assert(multi.size > single.size ||
+      single.exists { case (q, c) => multi(q) > c + 1e-12 })
+  }
+
   test("IVF top-k: exhaustive probe equals brute force; partial probe keeps high recall") {
     val n = 120
     val vecs = spark.range(n).select(col("id").as("vec_id"),

@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout UNPREFIXED: the default LoggedOutput
+// strategy routes the child's stdout through sbt's logger as "[info] ..."
+// lines, which breaks any consumer parsing a bare JSON line (graft.Bench's
+// contract). StdoutOutput makes the forked JVM inherit sbt's own streams.
+outputStrategy := Some(StdoutOutput)
+// ... and the trailing "[success] Total time: ..." line would otherwise be
+// the last stdout line after graft.Bench's JSON.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

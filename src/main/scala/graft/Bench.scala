@@ -13,12 +13,20 @@ import graft.sources.WebCorpus
   * 2. North-rule scaling evidence: the identical end-to-end
   *    link-and-cluster job (blocked pairs -> 6 gamma vars -> pattern agg ->
   *    EM -> threshold -> connected components) over the same synthetic web
-  *    corpus at two parallelism levels (N and 4N local cores, default 8 vs
-  *    32), reporting pairs/sec at both plus scaling efficiency
+  *    corpus at two parallelism levels (N and 4N local cores, default 2 vs
+  *    8), reporting pairs/sec at both plus scaling efficiency
   *    (= throughput_4N / throughput_N / 4). A real cluster is evidenced the
   *    same way with N vs 4N executors via spark-submit.
+  * 3. The pair-scoring heavy phase alone (pairs + gammas, no EM/CC driver
+  *    work) at the same two levels -> `scaling_efficiency_score`, plus
+  *    per-variable comparison timings over the persisted pair table
+  *    (`benchtimes` — the reference's `fastLink(...; benchmark)` per-variable
+  *    observability, /root/reference/src/fastlink/fastlink.jl:132-253).
   *
-  * Prints ONE JSON line.
+  * Output contract (driver-parsed): ONE bare JSON line as the final stdout
+  * line, AND the same line written to `SPARK_GRAFT_BENCH_OUT`
+  * (default ./BENCH.json) so the result survives any log-prefixing or
+  * stream-mixing in the invoking harness.
   */
 object Bench {
 
@@ -43,15 +51,8 @@ object Bench {
   final case class RunStats(
       nComparisons: Long, nMatched: Long, nClusters: Long, f1: Double)
 
-  /** The end-to-end link-and-cluster job. Comparable in per-pair work to the
-    * reference's published benchmark (6 variables: 4 fuzzy string + exact +
-    * numeric; /root/reference/src/benchmark.jl:22-62, all-pairs there,
-    * blocked here). Also scores pairwise F1 against the corpus's planted
-    * ground truth (cluster id = page_id / 1e6; duplicates always share the
-    * host+lang block, so truth pairs are all reachable at this blocking key).
-    */
-  private def linkAndCluster(spark: SparkSession, nBase: Long, nHosts: Int): RunStats = {
-    val pages = WebCorpus.pages(spark, WebCorpus.Params(nBase = nBase, dupFraction = 0.25,
+  private def benchPages(spark: SparkSession, nBase: Long, nHosts: Int): DataFrame =
+    WebCorpus.pages(spark, WebCorpus.Params(nBase = nBase, dupFraction = 0.25,
         nHosts = nHosts))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("title", concat_ws(" ", slice(col("toks"), 1, 3)))
@@ -61,28 +62,39 @@ object Bench {
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
       .drop("toks")
-    val cfg = MatchConfig(
-      idA = "ida", idB = "idb",
-      comparisons = ComparisonGroup(
-        name = "bench",
-        variables = Seq(
-          VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
-          VariableSpec("mid3", "jarowinkler", cutA = 0.92, cutB = 0.88),
-          VariableSpec("tail3", "jarowinkler", cutA = 0.92, cutB = 0.88),
-          VariableSpec("tok1", "exact"),
-          VariableSpec("lang", "exact"),
-          VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
-    def side(id: String) = pages.select(col("page_id").as(id), col("title"), col("mid3"),
+
+  private val benchSpecs = Seq(
+    VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+    VariableSpec("mid3", "jarowinkler", cutA = 0.92, cutB = 0.88),
+    VariableSpec("tail3", "jarowinkler", cutA = 0.92, cutB = 0.88),
+    VariableSpec("tok1", "exact"),
+    VariableSpec("lang", "exact"),
+    VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))
+
+  private def benchSide(pages: DataFrame, id: String): DataFrame =
+    pages.select(col("page_id").as(id), col("title"), col("mid3"),
       col("tail3"), col("tok1"), col("lang"), col("n_tokens"), col("block"))
-    val res = Linker.link(side("ida"), side("idb"), cfg, blockCols = Seq("block"),
-      maxBlockRows = Some(1000L))
+
+  /** The end-to-end link-and-cluster job. Comparable in per-pair work to the
+    * reference's published benchmark (6 variables: 4 fuzzy string + exact +
+    * numeric; /root/reference/src/benchmark.jl:22-62, all-pairs there,
+    * blocked here). Also scores pairwise F1 against the corpus's planted
+    * ground truth (cluster id = page_id / 1e6; duplicates always share the
+    * host+lang block, so truth pairs are all reachable at this blocking key).
+    */
+  private def linkAndCluster(spark: SparkSession, nBase: Long, nHosts: Int): RunStats = {
+    val pages = benchPages(spark, nBase, nHosts)
+    val cfg = MatchConfig(idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup(name = "bench", variables = benchSpecs))
+    val res = Linker.link(benchSide(pages, "ida"), benchSide(pages, "idb"), cfg,
+      blockCols = Seq("block"), maxBlockRows = Some(1000L))
     val nComparisons = res.em.patterns.map(_.count).sum
     val matched = res.matches().filter(col("id_a") < col("id_b"))
     val comps = ConnectedComponents.clusterPairs(matched)
     val nClusters = comps.select(countDistinct("component")).head().getLong(0)
     val counts = matched.agg(count(lit(1)).as("n"),
-      sum(when((col("id_a") / 1000000L).cast("long") ===
-        (col("id_b") / 1000000L).cast("long"), 1L).otherwise(0L)).as("tp")).head()
+      coalesce(sum(when((col("id_a") / 1000000L).cast("long") ===
+        (col("id_b") / 1000000L).cast("long"), 1L).otherwise(0L)), lit(0L)).as("tp")).head()
     val nMatched = counts.getLong(0)
     val tp = counts.getLong(1)
     val truthPairs = pages
@@ -93,6 +105,47 @@ object Bench {
     val fn = truthPairs - tp
     val f1 = if (tp == 0) 0.0 else 2.0 * tp / (2.0 * tp + fp + fn)
     RunStats(nComparisons, nMatched, nClusters, f1)
+  }
+
+  /** Heavy phase alone: salted pair join + all 6 gamma columns, counted.
+    * No EM / connected-components / driver work — the purely data-parallel
+    * part of the pipeline, whose scaling is not Amdahl-capped by the
+    * driver-side EM.
+    */
+  private def scorePhase(spark: SparkSession, nBase: Long, nHosts: Int): Long = {
+    val pages = benchPages(spark, nBase, nHosts)
+    val cfg = MatchConfig(idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup(name = "bench", variables = benchSpecs))
+    val pairs = Linker.buildPairs(benchSide(pages, "ida"), benchSide(pages, "idb"),
+      cfg, benchSpecs, Seq("block"), maxBlockRows = Some(1000L))
+    Gamma.addGammaColumns(pairs, benchSpecs)
+      .select((Seq("id_a", "id_b") ++ benchSpecs.map(s => Gamma.gammaColName(s.varname)))
+        .map(col): _*)
+      .agg(coalesce(sum(col("gamma_title").cast("long")), lit(0L))).head().getLong(0)
+  }
+
+  /** Reference-style per-variable comparison timings over a persisted pair
+    * table (`benchtimes`, /root/reference/src/fastlink/fastlink.jl:157,235):
+    * one gamma variable scored at a time, so users see which comparator
+    * dominates.
+    */
+  private def perVariableTimes(spark: SparkSession, nBase: Long, nHosts: Int): Seq[(String, Double)] = {
+    val pages = benchPages(spark, nBase, nHosts)
+    val cfg = MatchConfig(idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup(name = "bench", variables = benchSpecs))
+    val pairs = Linker.buildPairs(benchSide(pages, "ida"), benchSide(pages, "idb"),
+      cfg, benchSpecs, Seq("block"), maxBlockRows = Some(1000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize once; per-variable timings then exclude the join
+    val times = benchSpecs.map { s =>
+      val (_, sec) = timed {
+        pairs.select(Gamma.gammaCol(s, col(s.varname + "_a"), col(s.varname + "_b"))
+          .as("g")).agg(coalesce(sum(col("g").cast("long")), lit(0L))).head()
+      }
+      s.varname -> sec
+    }
+    pairs.unpersist()
+    times
   }
 
   private def timed[T](f: => T): (T, Double) = {
@@ -121,11 +174,17 @@ object Bench {
     // JIT/reader warmup so the alphabetically-first query isn't charged the
     // session's one-time costs (parquet reader, codegen compiler, shuffle
     // machinery): touch every table and exercise a join+agg+window once.
+    // Each warmup step tolerates failure like the timed loop does — a
+    // missing table must not abort the whole bench.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    SparkEntry.queries("q3_topk_per_lang")(spark, sfDir).count()
-    SparkEntry.queries("q_gamma_jw")(spark, sfDir).count()
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $t: $e") }
+    }
+    Seq("q3_topk_per_lang", "q_gamma_jw").foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $q: $e") }
+    }
     spark.catalog.clearCache()
     System.err.println("[bench] phase-1 warmup done")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -145,17 +204,18 @@ object Bench {
 
     // Best-of-reps per level: run-to-run variance on this sandbox is up to
     // ±30% (JIT / page-cache / machine state); min time is the standard
-    // robust throughput estimator. The N-level run is long enough to
-    // self-average, so it gets half the reps.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    def bestOf(label: String, n: Int): (RunStats, Double) =
+    // robust throughput estimator. Both levels get multiple reps — the
+    // round-1 driver artifact showed a single noisy rep can sink the
+    // reported efficiency (0.697 vs 0.80-0.99 in same-day repeats).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def bestOf(label: String, n: Int, job: SparkSession => Any = linkAndCluster(_, benchBase, nHosts)): (Any, Double) =
       (1 to n).map { i =>
         // The corpus is deterministic, so a repeat run's logical plan is
         // IDENTICAL to the previous rep's — Spark's CacheManager would serve
         // the persisted pair table and the rep would measure a cache read,
         // not the pipeline. Drop all cached data between reps.
         spark.catalog.clearCache()
-        val r = timed(linkAndCluster(spark, benchBase, nHosts))
+        val r = timed(job(spark))
         System.err.println(f"[bench] $label rep $i: ${r._2}%.1f s")
         r
       }.minBy(_._2)
@@ -163,25 +223,44 @@ object Bench {
     // peak throughput at the widest sensible thread count
     spark = session(cpusPeak)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup
-    val (peakStats, secPeak) = bestOf(s"peak=$cpusPeak cores", 1)
+    val (peakStatsAny, secPeak) = bestOf(s"peak=$cpusPeak cores", 1)
+    val peakStats = peakStatsAny.asInstanceOf[RunStats]
     spark.stop()
 
     spark = session(cpus4N)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
-    val (stats4N, sec4N) = bestOf(s"4N=$cpus4N cores", reps)
+    val (stats4NAny, sec4N) = bestOf(s"4N=$cpus4N cores", reps)
+    val stats4N = stats4NAny.asInstanceOf[RunStats]
+    // heavy phase (pairs+gammas only) at the same level, half size
+    scorePhase(spark, benchBase / 4, nHosts) // warmup
+    spark.catalog.clearCache()
+    val (_, secScore4N) = bestOf(s"score 4N=$cpus4N", math.max(reps - 1, 2),
+      scorePhase(_, benchBase / 2, nHosts))
+    // reference-style per-variable timings (once, at the 4N level)
+    val benchtimes = perVariableTimes(spark, benchBase / 2, nHosts)
+    benchtimes.foreach { case (v, s) =>
+      System.err.println(f"[bench] benchtime $v%-12s $s%6.2f s") }
     spark.stop()
 
     spark = session(cpusN)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
-    val (statsN, secN) = bestOf(s"N=$cpusN cores", math.max(reps / 2, 1))
+    val (statsNAny, secN) = bestOf(s"N=$cpusN cores", math.max(reps - 1, 2))
+    val statsN = statsNAny.asInstanceOf[RunStats]
+    scorePhase(spark, benchBase / 4, nHosts) // warmup
+    spark.catalog.clearCache()
+    val (_, secScoreN) = bestOf(s"score N=$cpusN", math.max(reps - 1, 2),
+      scorePhase(_, benchBase / 2, nHosts))
     spark.stop()
 
     val thr4N = stats4N.nComparisons / sec4N
     val thrN = statsN.nComparisons / secN
     val thrPeak = peakStats.nComparisons / secPeak
     val eff = (thr4N / thrN) / (cpus4N.toDouble / cpusN)
+    val effScore = (secScoreN / secScore4N) / (cpus4N.toDouble / cpusN)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val bt = benchtimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum + sec4N
     val linkage =
@@ -192,9 +271,18 @@ object Bench {
         f""""sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"sec_peak":$secPeak%.3f,""" +
         f""""pairs_per_sec_n":${thrN}%.0f,"pairs_per_sec_4n":${thr4N}%.0f,""" +
         f""""pairs_per_sec_peak":${thrPeak}%.0f,""" +
-        f""""scaling_efficiency":$eff%.3f}"""
-    println(
+        f""""scaling_efficiency":$eff%.3f,""" +
+        f""""sec_score_n":$secScoreN%.3f,"sec_score_4n":$secScore4N%.3f,""" +
+        f""""scaling_efficiency_score":$effScore%.3f,""" +
+        s""""benchtimes":$bt}"""
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","link_and_cluster":$linkage}""")
+        s""""sf":"$sfDir","link_and_cluster":$linkage}"""
+    // File first (survives any stdout mangling by the invoking harness),
+    // then the bare final stdout line.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
+    println(line)
   }
 }

@@ -21,15 +21,26 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   // ---- shared pair builders (customer dedupe-mode pairs within nation) ----
+  // Parallelism is structural, not session-conf: the 25-nation blocking key
+  // is salted into ~cap^2-pair cells (two-sided salted join — pair multiset
+  // provably unchanged, PlanSpec) and the join output gets an explicit
+  // fan-out repartition, because AQE's input-bytes coalescing would
+  // otherwise run the whole quadratic fan-out on ONE task (measured round 1).
+  private def pairFanout(s: SparkSession): Int =
+    math.max(64, s.sparkContext.defaultParallelism * 2)
+
   private def customerPairs(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val a = c.select(col("c_nationkey").as("block"), col("c_custkey").as("id_a"),
-      col("c_name").as("name_a"), col("c_acctbal").as("bal_a"),
-      col("c_mktsegment").as("seg_a"))
-    val b = c.select(col("c_nationkey").as("block"), col("c_custkey").as("id_b"),
-      col("c_name").as("name_b"), col("c_acctbal").as("bal_b"),
-      col("c_mktsegment").as("seg_b"))
-    a.join(b, "block").filter(col("id_a") < col("id_b"))
+    val side = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"),
+      col("c_nationkey").as("block"))
+    val cfg = MatchConfig(idA = "id", idB = "id",
+      comparisons = ComparisonGroup("cust", Seq(
+        VariableSpec("name", "jarowinkler"), VariableSpec("bal", "numeric"),
+        VariableSpec("seg", "exact"))))
+    Linker.buildPairs(side, side, cfg, cfg.comparisons.allVariables, Seq("block"),
+        maxBlockRows = Some(400L), fanoutPartitions = Some(pairFanout(s)))
+      .filter(col("id_a") < col("id_b"))
   }
 
   private def gammaJw(a: Column, b: Column): Column = {
@@ -101,10 +112,15 @@ object SparkEntry {
     * patterns and extracts matches from the same LinkResult — running
     * q_em_patterns and q_matches in one session should not re-link.
     */
-  private val emMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Linker.LinkResult, DataFrame)]()
+  // Single-slot memo: holding more would pin stopped sessions (and their
+  // cached DataFrames) forever in a long-lived JVM that cycles sessions.
+  private var emMemo: ((SparkSession, String), (Linker.LinkResult, DataFrame)) = null
   private def customerEm(s: SparkSession, dir: String): (Linker.LinkResult, DataFrame) =
-    emMemo.computeIfAbsent((s, dir), _ => customerEmUncached(s, dir))
+    synchronized {
+      if (emMemo == null || emMemo._1 != ((s, dir)))
+        emMemo = ((s, dir), customerEmUncached(s, dir))
+      emMemo._2
+    }
 
   private def customerEmUncached(s: SparkSession, dir: String): (Linker.LinkResult, DataFrame) = {
     val c = t(s, dir, "customer")
@@ -123,7 +139,8 @@ object SparkEntry {
     val res = Linker.link(
       side.withColumnRenamed("c_custkey", "ida"),
       side.withColumnRenamed("c_custkey", "idb"),
-      cfg.copy(idA = "ida", idB = "idb"), blockCols = Seq("block"))
+      cfg.copy(idA = "ida", idB = "idb"), blockCols = Seq("block"),
+      maxBlockRows = Some(400L), fanoutPartitions = Some(pairFanout(s)))
     (res, res.pairs.filter(col("id_a") < col("id_b")))
   }
 
@@ -250,6 +267,58 @@ object SparkEntry {
         .select(col("c_mktsegment"), round(col("tf_c_mktsegment"), 6).as("tf"))
         .orderBy("c_mktsegment")
     }),
+    "q_tf_adj" -> ((s, dir) => {
+      // pair-level TF columns + per-pair denominator (reference T1 + P2 +
+      // tf_adj_table semantics, SQL-expressible end to end): tf values ride
+      // the salted pair join, exact-method denominator = mean of both sides
+      val c = t(s, dir, "customer")
+      val side = c.select(col("c_custkey").as("id"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("block"))
+      val spec = VariableSpec("seg", "exact", tfAdjust = true)
+      val cfg = MatchConfig(idA = "id", idB = "id",
+        comparisons = ComparisonGroup("tf", Seq(spec)))
+      Linker.buildPairs(side, side, cfg, Seq(spec), Seq("block"),
+          maxBlockRows = Some(400L), fanoutPartitions = Some(pairFanout(s)))
+        .filter(col("id_a") < col("id_b"))
+        .select(round(col("tf_seg_a"), 6).as("tf_seg_a"),
+          round(col("tf_seg_b"), 6).as("tf_seg_b"),
+          round(TermFrequency.denominator(spec), 6).as("tf_denom"))
+        .groupBy("tf_seg_a", "tf_seg_b", "tf_denom")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tf_seg_a", "tf_seg_b", "tf_denom")
+    }),
+    "q_hierarchical" -> ((s, dir) => {
+      // nested comparison stages (reference H1-H3): child group (name JW +
+      // seg exact) runs its own EM, its thresholded verdict binarizes into
+      // the synthetic gamma_namegrp of the parent EM (with bal numeric).
+      // EM-dependent -> rows-only; pattern-total identity is unit-tested
+      // (HierarchicalTfSpec: sum(counts) == pair count).
+      val c = t(s, dir, "customer")
+      val cfg = MatchConfig(
+        idA = "ida", idB = "idb",
+        comparisons = ComparisonGroup(
+          name = "parent",
+          variables = Seq(VariableSpec("bal", "numeric", cutA = 100, cutB = 500)),
+          children = Seq(ComparisonGroup(
+            name = "namegrp",
+            variables = Seq(
+              VariableSpec("name", "jarowinkler", cutA = 0.95, cutB = 0.88),
+              VariableSpec("seg", "exact")),
+            em = EmOptions(thresholdMatch = 0.9)))))
+      val side = c.select(col("c_custkey"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("block"))
+      val res = Linker.link(
+        side.withColumnRenamed("c_custkey", "ida"),
+        side.withColumnRenamed("c_custkey", "idb"),
+        cfg, blockCols = Seq("block"),
+        maxBlockRows = Some(400L), fanoutPartitions = Some(pairFanout(s)))
+      res.patternStats
+        .select(col("gamma_namegrp").cast("int").as("gamma_namegrp"),
+          col("gamma_bal").cast("int").as("gamma_bal"),
+          col("counts"), round(col("zeta_j"), 6).as("zeta"))
+        .orderBy("gamma_namegrp", "gamma_bal")
+    }),
     "q_em_patterns" -> ((s, dir) => {
       // Fellegi-Sunter EM over the pattern table (driver-side; rows-only
       // check — golden-tested against the reference fixture instead)
@@ -350,12 +419,13 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, dir) => {
       // IVF plumbing with exhaustive probe (nProbe = nCells) — exactly
-      // brute-force top-k, so it shares q_ann_topk's oracle; the
-      // partial-probe recall path is unit-tested (TextOpsSpec)
+      // brute-force top-k regardless of centroid placement, so it shares
+      // q_ann_topk's oracle while still exercising the k-means refinement;
+      // the partial-probe recall path is unit-tested (TextOpsSpec)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 30), "vec_id", "embedding",
-        k = 3, nCells = 8, nProbe = 8)
+        k = 3, nCells = 8, nProbe = 8, kmeansIters = 1)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
@@ -447,6 +517,20 @@ object SparkEntry {
         | round(greatest(count(*) / (SELECT count(*) FROM customer), 0.001), 6) AS tf
         |FROM customer WHERE c_mktsegment IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tf_adj" ->
+      """WITH tf AS (
+        |  SELECT c_mktsegment AS v,
+        |   greatest(count(*) / (SELECT count(*) FROM customer), 0.001) AS tf
+        |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1)
+        |SELECT round(coalesce(ta.tf, 1.0), 6) AS tf_seg_a,
+        | round(coalesce(tb.tf, 1.0), 6) AS tf_seg_b,
+        | round((coalesce(ta.tf, 1.0) + coalesce(tb.tf, 1.0)) / 2, 6) AS tf_denom,
+        | count(*) AS n
+        |FROM customer a JOIN customer b
+        | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |LEFT JOIN tf ta ON a.c_mktsegment = ta.v
+        |LEFT JOIN tf tb ON b.c_mktsegment = tb.v
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_cluster_cc" ->
       """WITH RECURSIVE e AS (
         |  SELECT cast(c_custkey AS bigint) AS u,

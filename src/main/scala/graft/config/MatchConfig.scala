@@ -77,7 +77,14 @@ final case class EmOptions(
     priorPi: Double = 0.0,
     wPi: Double = 0.0,
     addressFields: Set[String] = Set.empty,
-    thresholdMatch: Double = 0.85)
+    thresholdMatch: Double = 0.85,
+    /** None (default): deterministic init from the Dirichlet *means* —
+      * reproducible pipelines. Some(seed): seeded random Dirichlet draws
+      * with the reference's concentrations 1,51,101,...
+      * (`/root/reference/src/emlink.jl:119-121`) for users replicating
+      * reference runs distributionally.
+      */
+    initSeed: Option[Long] = None)
 
 final case class MatchConfig(
     idA: String,

@@ -11,8 +11,14 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   *
   * Accumulation order matches the HOF forms they replace
   * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`: left-to-right sum starting
-  * at 0.0), so results are bit-identical to the previous implementation and
-  * to the DuckDB `list_cosine_similarity` oracle at comparison precision.
+  * at 0.0), so on non-degenerate input (equal lengths, non-zero norms)
+  * results agree with the DuckDB `list_cosine_similarity` oracle at
+  * comparison precision. Edge semantics differ from the old Column form by
+  * design: `dot` truncates to the shorter array (the zip_with form returned
+  * NULL), and `cosine` of a zero-norm vector is 0.0 — NOT NaN, which Spark
+  * orders ABOVE every double and would rank a zero vector #1 in every
+  * cosine top-k window — and not NULL either (these are non-nullSafe
+  * codegen kernels).
   */
 object VectorKernels {
 
@@ -24,6 +30,10 @@ object VectorKernels {
     s
   }
 
-  def cosine(a: ArrayData, b: ArrayData): Double =
-    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot(a, b) / (math.sqrt(na) * math.sqrt(nb))
+  }
 }

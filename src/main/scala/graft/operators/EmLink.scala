@@ -59,6 +59,25 @@ object EmLink {
   private def logSumExp(lx: Double, ly: Double): Double =
     math.max(lx, ly) + math.log1p(math.exp(-math.abs(lx - ly)))
 
+  /** Marsaglia-Tsang Gamma(alpha, 1) sampler (alpha >= 1 — the Dirichlet
+    * concentrations here are 1, 51, 101, ...). Powers the opt-in seeded
+    * random init; the deterministic default never calls it.
+    */
+  private def gammaDraw(alpha: Double, r: java.util.Random): Double = {
+    val d = alpha - 1.0 / 3.0
+    val c = 1.0 / math.sqrt(9.0 * d)
+    while (true) {
+      var x = 0.0
+      var v = 0.0
+      do { x = r.nextGaussian(); v = 1.0 + c * x } while (v <= 0)
+      v = v * v * v
+      val u = r.nextDouble()
+      if (u < 1 - 0.0331 * x * x * x * x) return d * v
+      if (math.log(u) < 0.5 * x * x + d * (1 - v + math.log(v))) return d * v
+    }
+    0.0 // unreachable
+  }
+
   def run(
       patterns: Seq[Pattern],
       dims: (Long, Long),
@@ -105,12 +124,30 @@ object EmLink {
     val levelIdx: Array[Array[Int]] = Array.tabulate(nFeatures) { c =>
       gam.map { g => if (g(c) < 0) -1 else uvals(c).indexOf(g(c)) }
     }
+    val rng = opts.initSeed.map(new java.util.Random(_))
+    def dirichlet(conc: Array[Double], r: java.util.Random): Array[Double] = {
+      val g = conc.map(gammaDraw(_, r))
+      val s = g.sum
+      g.map(_ / s)
+    }
     var pKM: Array[Array[Double]] = Array.tabulate(nFeatures) { c =>
       val conc = Array.tabulate(uvals(c).length)(i => 1.0 + 50.0 * i)
-      val s = conc.sum
-      conc.map(_ / s) // ascending (emlink.jl:119-120 sorted rev=false)
+      rng match {
+        case Some(r) => // seeded random draw, sorted ascending (emlink.jl:119-120)
+          dirichlet(conc, r).sorted
+        case None => // deterministic default: the Dirichlet means (ascending)
+          val s = conc.sum
+          conc.map(_ / s)
+      }
     }
-    var pKU: Array[Array[Double]] = pKM.map(_.reverse) // descending (emlink.jl:121)
+    var pKU: Array[Array[Double]] = rng match {
+      case Some(r) => // independent draw per feature, sorted DESCENDING (emlink.jl:121)
+        Array.tabulate(nFeatures) { c =>
+          val conc = Array.tabulate(uvals(c).length)(i => 1.0 + 50.0 * i)
+          dirichlet(conc, r).sorted.reverse
+        }
+      case None => pKM.map(_.reverse)
+    }
 
     var pM = opts.pM0
     var pU = 1 - pM

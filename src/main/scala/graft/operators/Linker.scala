@@ -47,6 +47,26 @@ object Linker {
         if (pairs.columns.contains("final_zeta")) col("final_zeta") else col("zeta_j")
       pairs.filter(scoreCol >= t)
     }
+
+    /** Reference `tf_adj_table`
+      * (`/root/reference/src/term_frequency_adjustment.jl:140-156`): the raw
+      * per-pair TF values for EVERY compared variable (1.0 where the
+      * variable carries no TF — the reference initializes TF vectors to
+      * ones), keyed by `pattern_id` so the reference's per-pattern tables
+      * are one `filter(pattern_id = i)` away. Stays distributed — the
+      * reference materializes per-pattern driver DataFrames, which is
+      * O(pairs) driver state.
+      */
+    def tfAdjTable: DataFrame = {
+      val vars = config.comparisons.allVariables
+      val have = pairs.columns.toSet
+      val tfCols = vars.flatMap { s =>
+        Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)).map { c =>
+          (if (have(c)) col(c) else lit(1.0)).as(c)
+        }
+      }
+      pairs.select(col("id_a") +: col("id_b") +: col("pattern_id") +: tfCols: _*)
+    }
   }
 
   /** Builds the pair DataFrame: equi-join on blocking columns, or a
@@ -63,6 +83,22 @@ object Linker {
     * appears exactly once — the hot block's output is spread over ns
     * shuffle keys instead of one. Replication cost: ns copies of the hot
     * blocks' A rows (row-sized, not pair-sized).
+    *
+    * FAN-OUT PARALLELISM: the pair join is join-OUTPUT-dominated — its
+    * *input* can be tiny while its output is quadratic. AQE's partition
+    * coalescing sizes the join stage by input map bytes, so on a
+    * default-conf session a small-input link collapses the whole
+    * gamma-compute fan-out onto ONE task (measured round 1: q_gamma_jw
+    * 10.7s on 1 task vs 2.6s with a 64-way spread at sf0.1/local[32]).
+    * `fanoutPartitions = Some(n)` repartitions both join INPUTS on the
+    * exact join keys with an explicit partition count: the sides arrive
+    * co-partitioned, EnsureRequirements inserts no further exchange, AQE
+    * never coalesces an explicit-numPartitions repartition — so the join
+    * AND every downstream comparator fused into its stage run n-way on any
+    * session conf, with NO pair-scale shuffle anywhere (the shuffled data
+    * is row-scale). Effective parallelism is bounded by distinct join keys,
+    * which is what `maxBlockRows` salting multiplies. Opt-in because at
+    * true input scale the join input already spans many map tasks.
     */
   def buildPairs(
       dfA: DataFrame,
@@ -70,7 +106,8 @@ object Linker {
       cfg: MatchConfig,
       specs: Seq[VariableSpec],
       blockCols: Seq[String],
-      maxBlockRows: Option[Long] = None): DataFrame = {
+      maxBlockRows: Option[Long] = None,
+      fanoutPartitions: Option[Int] = None): DataFrame = {
     def side(df: DataFrame, id: String, suffix: String): DataFrame = {
       val varCols = specs.map(_.varname).distinct
       val tf = TermFrequency.withTfColumns(df, specs, suffix)
@@ -83,10 +120,20 @@ object Linker {
     }
     val a = side(dfA, cfg.idA, "_a")
     val b = side(dfB, cfg.idB, "_b")
-    if (blockCols.isEmpty) a.crossJoin(b)
-    else maxBlockRows match {
+    // co-partition a join input on its keys with an explicit (never
+    // AQE-coalesced) partition count — see FAN-OUT PARALLELISM above
+    def fan(df: DataFrame, keys: Seq[String]): DataFrame = fanoutPartitions match {
+      case Some(n) => df.repartition(n, keys.map(col): _*)
+      case None    => df
+    }
+    if (blockCols.isEmpty) {
+      // cross join has no keys to co-partition on; spread the output instead
+      val joined = a.crossJoin(b)
+      fanoutPartitions.fold(joined)(n => joined.repartition(n, col("id_a"), col("id_b")))
+    } else maxBlockRows match {
       case None =>
-        a.join(b, blockCols, "inner").drop(blockCols: _*)
+        fan(a, blockCols).join(fan(b, blockCols), blockCols, "inner")
+          .drop(blockCols: _*)
       case Some(cap) =>
         // Two-sided salting: rows of an oversized block land in a
         // ns x ns grid of cells of ~cap^2 pairs each (balanced tasks); a row
@@ -112,7 +159,8 @@ object Linker {
           .withColumn("__x",
             explode(sequence(lit(0), coalesce(col("__ns"), lit(1)) - 1)))
           .drop("__ns")
-        aS.join(bS, blockCols ++ Seq("__x", "__y"), "inner")
+        val keys = blockCols ++ Seq("__x", "__y")
+        fan(aS, keys).join(fan(bS, keys), keys, "inner")
           .drop("__x", "__y").drop(blockCols: _*)
     }
   }
@@ -131,13 +179,15 @@ object Linker {
       autoDistinctRewrite: Boolean = false,
       persist: Boolean = true,
       maxBlockRows: Option[Long] = None,
-      persistPath: Option[String] = None): LinkResult = {
+      persistPath: Option[String] = None,
+      fanoutPartitions: Option[Int] = None): LinkResult = {
     val spark = dfA.sparkSession
     val allSpecs = cfg.comparisons.allVariables
     val nA = dfA.count()
     val nB = dfB.count()
 
-    var pairs = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows)
+    var pairs = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows,
+      fanoutPartitions)
 
     // gamma columns for every leaf variable (one codegen'd projection; the
     // distinct-value rewrite is applied per variable where it pays)

@@ -24,12 +24,22 @@ object TermFrequency {
   def tfColA(varname: String): String = s"tf_${varname}_a"
   def tfColB(varname: String): String = s"tf_${varname}_b"
 
+  /** Above this many (approx) distinct values the per-variable frequency
+    * table is joined with a shuffle join instead of a broadcast: at web
+    * scale a TF variable can be near-unique (urls, full names), and
+    * broadcasting a |distinct|-row table is a driver/executor OOM.
+    */
+  val DefaultBroadcastMaxDistinct: Long = 1000000L
+
   /** Frequency table for one column: value -> max(freq/N, tfMin)
     * (reference `gammaCKpar.jl:180-193`). One hash aggregate; the result is
-    * tiny for low-cardinality vars and at worst |distinct| rows.
+    * tiny for low-cardinality vars and at worst |distinct| rows. Pass
+    * `totalRows` when the caller already counted the table (avoids a
+    * second full scan).
     */
-  def freqTable(df: DataFrame, varname: String, tfMin: Double): DataFrame = {
-    val total = df.count().toDouble
+  def freqTable(df: DataFrame, varname: String, tfMin: Double,
+      totalRows: Option[Long] = None): DataFrame = {
+    val total = totalRows.getOrElse(df.count()).toDouble
     df.filter(col(varname).isNotNull)
       .groupBy(col(varname))
       .agg(greatest(count(lit(1)) / total, lit(tfMin)).as(s"tf_$varname"))
@@ -39,18 +49,34 @@ object TermFrequency {
     * (pre-pairing, so the join is row-count-sized, not pair-sized).
     * TF of a missing value stays 1.0 (the reference initializes TF vectors
     * to 1.0 and never overwrites missing rows, `fastlink.jl:28`).
+    *
+    * ONE stats pass over `df` (total count + approx_count_distinct per TF
+    * var) decides, per variable, broadcast vs shuffle join for the
+    * frequency table — the same cost-gating discipline as the gamma
+    * distinct-value rewrite (`Gamma.distinctRatio`).
     */
-  def withTfColumns(df: DataFrame, specs: Seq[VariableSpec], suffix: String): DataFrame =
-    specs.filter(_.tfAdjust).foldLeft(df) { (acc, s) =>
-      val ft = freqTable(df, s.varname, s.tfMinimumUValue)
+  def withTfColumns(df: DataFrame, specs: Seq[VariableSpec], suffix: String,
+      broadcastMaxDistinct: Long = DefaultBroadcastMaxDistinct): DataFrame = {
+    val tfSpecs = specs.filter(_.tfAdjust)
+    if (tfSpecs.isEmpty) return df
+    val statsRow = df.agg(count(lit(1)).as("__n"),
+      tfSpecs.map(s => approx_count_distinct(col(s.varname)).as(s"__d_${s.varname}")): _*)
+      .head()
+    val total = statsRow.getLong(0)
+    val distinctOf = tfSpecs.zipWithIndex
+      .map { case (s, i) => s.varname -> statsRow.getLong(i + 1) }.toMap
+    tfSpecs.foldLeft(df) { (acc, s) =>
+      val ft0 = freqTable(df, s.varname, s.tfMinimumUValue, Some(total))
         .withColumnRenamed(s.varname, s"__tfv")
         .withColumnRenamed(s"tf_${s.varname}", s"tf_${s.varname}$suffix")
+      val ft = if (distinctOf(s.varname) <= broadcastMaxDistinct) broadcast(ft0) else ft0
       acc
-        .join(broadcast(ft), acc(s.varname) === col("__tfv"), "left")
+        .join(ft, acc(s.varname) === col("__tfv"), "left")
         .drop("__tfv")
         .withColumn(s"tf_${s.varname}$suffix",
           coalesce(col(s"tf_${s.varname}$suffix"), lit(1.0)))
     }
+  }
 
   /** Per-pair TF denominator for one variable (reference
     * `match_level_tf_lookup`, `patterns.jl:134-141`): exact -> mean of the

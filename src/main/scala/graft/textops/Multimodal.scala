@@ -7,12 +7,77 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, batched feature extraction over partitions.
   *
-  * The decode step is a clearly-marked deterministic STUB (no codec
-  * libraries ship in this environment); everything Spark-side — schema,
-  * partition batching, feature array shape, null handling — is real and
-  * tested, so a real decoder drops in by replacing [[decodeStub]] only.
+  * Images decode for real via pure-JDK `javax.imageio` (PNG/JPEG/BMP/GIF —
+  * [[decodeImage]]). Audio/video decode remains a clearly-marked
+  * deterministic STUB (no codec libraries ship in this environment); the
+  * Spark-side contract — schema, partition batching, feature array shape,
+  * null handling — is identical for both, so a real A/V decoder drops in by
+  * replacing [[decodeStub]] only.
   */
 object Multimodal {
+
+  /** Real image decode: width, height, per-channel RGB means in [0,1], and
+    * a luminance histogram over the remaining `dim - 5` slots. Pixels are
+    * sampled on a stride so cost is bounded (~4096 pixels) regardless of
+    * image size. Returns null for null or undecodable payloads (corrupt
+    * image semantics).
+    */
+  def decodeImage(payload: Array[Byte], dim: Int): Array[Float] = {
+    if (payload == null || dim < 6) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](dim)
+    out(0) = w.toFloat
+    out(1) = h.toFloat
+    val stride = math.max(1, math.sqrt(w.toLong * h / 4096.0).toInt)
+    val nBins = dim - 5
+    val hist = new Array[Long](nBins)
+    var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b; n += 1
+        val lum = (r * 299 + g * 587 + b * 114) / 1000 // 0..255
+        hist(math.min(nBins - 1, lum * nBins / 256)) += 1
+        x += stride
+      }
+      y += stride
+    }
+    out(2) = (sr.toDouble / (n * 255.0)).toFloat
+    out(3) = (sg.toDouble / (n * 255.0)).toFloat
+    out(4) = (sb.toDouble / (n * 255.0)).toFloat
+    var i = 0
+    while (i < nBins) { out(5 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
+    out
+  }
+
+  /** Deterministic 8x8 PNG bytes from a seed — real, decodable image
+    * payloads for tests and the synthetic media table.
+    */
+  def syntheticPng(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var v = seed * 6364136223846793005L + (y * 8 + x) * 1442695040888963407L
+        v ^= (v >>> 33)
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -43,11 +108,13 @@ object Multimodal {
     out
   }
 
-  /** Deterministic synthetic media table derived from the documents table
-    * (payload = html-like bytes of the text) — the test/bench input.
+  /** Deterministic synthetic media table derived from the documents table —
+    * the test/bench input. Image rows carry REAL 8x8 PNG payloads
+    * ([[syntheticPng]], decodable by [[decodeImage]]); audio/video rows
+    * carry opaque text bytes (their decode is the stub).
     */
-  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(
       col(idCol).cast("long").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(xxhash64(col(idCol)), lit(3)) + 1).cast("int")).as("kind"),
@@ -56,12 +123,22 @@ object Multimodal {
       (pmod(xxhash64(col(idCol), lit(2)), lit(1080)) + 1).cast("int").as("height"),
       lit(16000).as("sample_rate"),
       (pmod(xxhash64(col(idCol), lit(3)), lit(600000)) + 1).cast("long").as("duration_ms"))
+    val enc = org.apache.spark.sql.Encoders.row(base.schema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(1) == "image")
+          Row.fromSeq(r.toSeq.updated(2, syntheticPng(r.getLong(0))))
+        else r
+      }
+    }(enc)
+  }
 
-  /** Batched feature extraction: mapPartitions over (media_id, payload),
-    * emitting (media_id, features array<float>). Batching shape mirrors a
-    * vectorized-UDF pipeline: rows are processed in fixed-size batches so a
-    * real decoder can amortize model/codec setup per batch; partitioning is
-    * preserved (no shuffle).
+  /** Batched feature extraction: mapPartitions over (media_id, kind,
+    * payload), emitting (media_id, features array<float>). Image rows
+    * decode for real ([[decodeImage]]); audio/video rows go through the
+    * marked stub. Batching shape mirrors a vectorized-UDF pipeline: rows
+    * are processed in fixed-size batches so a real decoder can amortize
+    * model/codec setup per batch; partitioning is preserved (no shuffle).
     */
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
@@ -69,14 +146,18 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType), nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    media.select(col("media_id").cast("long"), col("payload"))
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // per-batch setup happens here in a real decoder
           batch.iterator.map { r =>
             val id = r.getLong(0)
-            val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-            Row(id, decodeStub(payload, dim))
+            val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+            val feats = r.getString(1) match {
+              case "image" => decodeImage(payload, dim)
+              case _       => decodeStub(payload, dim) // STUB: no A/V codec here
+            }
+            Row(id, feats)
           }
         }
       }(enc)

@@ -102,6 +102,49 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Spherical k-means refinement of IVF centroids: start from the `nCells`
+    * lowest-id vectors (deterministic), then `iters` rounds of
+    * assign-to-nearest (broadcast centroid table, corpus never shuffles to
+    * assign) + per-cell per-dimension mean (posexplode -> partial+final hash
+    * aggregate, O(rows * dim) map-side). Centroids are collected between
+    * rounds (<= nCells * dim doubles — driver-tiny) so each round's plan
+    * starts from literal values instead of a growing lineage.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = corpus
+      .select(col(idCol).cast("long").as("__cent_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__cent"))
+      .orderBy("__cent_id").limit(nCells)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("__rid").orderBy(col("__cos").desc, col("__cent_id").asc)
+      val assigned = corpus
+        .select(col(idCol).as("__rid"), col(vecCol).as("__v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__cos", cosine(col("__v"), col("__cent")))
+        .withColumn("__p", row_number().over(w))
+        .filter(col("__p") === 1)
+        .select(col("__cent_id"), col("__v"))
+      val means = assigned
+        .select(col("__cent_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cent_id", "__pos").agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy("__cent_id")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ps"))
+        .select(col("__cent_id"), transform(col("__ps"), p => p.getField("__m")).as("__cent"))
+      val local = means.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      cents = local.toDF("__cent_id", "__cent")
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: the corpus is assigned once to its nearest of
     * `nCells` coarse centroids; each query probes only its `nProbe` nearest
     * cells. With `nProbe = nCells` the search is exhaustive (= brute force);
@@ -109,10 +152,11 @@ object Similarity {
     * probe — the 100 TB path, where the cell assignment is a one-off batch
     * job and queries join against a cell-partitioned (bucketed) corpus.
     *
-    * Centroids are deterministic: the `nCells` lowest-id vectors (a k-means
-    * iteration could refine them; selection is orthogonal to the plan shape).
-    * Both assignment joins broadcast the tiny centroid table — the corpus
-    * never shuffles except for the final per-query top-k window.
+    * Centroids are deterministic: the `nCells` lowest-id seed vectors,
+    * refined by `kmeansIters` spherical-k-means rounds ([[kmeansCentroids]];
+    * 0 = raw seeds). Both assignment joins broadcast the tiny centroid
+    * table — the corpus never shuffles except for the final per-query
+    * top-k window.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -121,11 +165,15 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus
-      .select(col(idCol).as("__cent_id"), col(vecCol).as("__cent"))
-      .orderBy("__cent_id").limit(nCells)
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters)
+      else corpus
+        .select(col(idCol).cast("long").as("__cent_id"),
+          transform(col(vecCol), x => x.cast("double")).as("__cent"))
+        .orderBy("__cent_id").limit(nCells)
     def assign(df: DataFrame, id: String, v: String, probes: Int): DataFrame = {
       val w = Window.partitionBy(id).orderBy(col("__cos").desc, col("__cent_id").asc)
       df.crossJoin(broadcast(cents))

@@ -82,6 +82,59 @@ class HierarchicalTfSpec extends SparkSpec {
     assert(tf > 0)
   }
 
+  test("tfAdjTable exports per-pair raw TF values for every variable (T6)") {
+    val tab = result.tfAdjTable
+    // all vars present, ones where no TF was computed (reference initializes
+    // TF vectors to 1.0, term_frequency_adjustment.jl:140-156)
+    val expected = Seq("id_a", "id_b", "pattern_id",
+      "tf_firstname_a", "tf_firstname_b", "tf_lastname_a", "tf_lastname_b",
+      "tf_housenum_a", "tf_housenum_b", "tf_streetname_a", "tf_streetname_b")
+    assert(tab.columns.toSeq == expected)
+    assert(tab.count() == 175000L)
+    val row = tab.filter(col("tf_lastname_a") =!= 1.0).head()
+    assert(row.getAs[Double]("tf_firstname_a") == 1.0) // non-TF var -> ones
+    val tfRange = tab.agg(min("tf_lastname_a"), max("tf_lastname_a")).head()
+    assert(tfRange.getDouble(0) >= 0.0 && tfRange.getDouble(1) <= 1.0)
+    // per-pattern table (the reference's output shape) is one filter away
+    val pat0 = tab.filter(col("pattern_id") === 0)
+    assert(pat0.count() > 0)
+  }
+
+  test("seeded random Dirichlet EM init converges to the deterministic fixed point") {
+    // same pattern table, three inits: deterministic + two seeds — the EM
+    // must land on the same matched set and near-identical p_m/p_u
+    // (reference emlink.jl:119-121 draws randomly; its own tests tolerate
+    // any seed)
+    val vars = Seq("firstname", "lastname", "address")
+    val patterns = result.em.patterns.map(p => EmLink.Pattern(p.gammas, p.count))
+    val det = EmLink.run(patterns, (500L, 350L), vars)
+    Seq(1L, 42L).foreach { seed =>
+      val rnd = EmLink.run(patterns, (500L, 350L), vars,
+        EmOptions(initSeed = Some(seed)))
+      assert(math.abs(rnd.pM - det.pM) < 1e-6, s"seed $seed pM ${rnd.pM} vs ${det.pM}")
+      assert(math.abs(rnd.pU - det.pU) < 1e-6)
+      val mDet = det.patterns.filter(_.zeta >= 0.85).map(_.gammas.toSeq).toSet
+      val mRnd = rnd.patterns.filter(_.zeta >= 0.85).map(_.gammas.toSeq).toSet
+      assert(mDet == mRnd, s"seed $seed matched-pattern set differs")
+    }
+  }
+
+  test("hierarchical driver query: pattern totals cover every pair (q_hierarchical identity)") {
+    val df = SparkEntry.queries("q_hierarchical")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("counts")).sum
+    // the link pattern table covers the full blocked AxB cross (both orders
+    // + self-pairs — the reference's `sum counts == nrowA*nrowB` identity,
+    // blocked): sum over blocks of n^2
+    val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val pairTotal = c.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * col("n")).cast("long"))).head().getLong(0)
+    assert(total == pairTotal, s"sum(counts)=$total != $pairTotal")
+    // child verdict is binary in the parent's pattern table
+    assert(rows.map(_.getAs[Int]("gamma_namegrp")).toSet.subsetOf(Set(0, 2)))
+  }
+
   test("lambda prior shifts p_m upward") {
     val base = result.em.pM
     val cfgPrior = cfg.copy(comparisons = cfg.comparisons.copy(

@@ -103,6 +103,48 @@ class PlanSpec extends SparkSpec {
       plan.indexOf("Broadcast"), plan)
   }
 
+  test("fanout repartition survives AQE partition coalescing (no 1-task fan-out)") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (i.toLong, s"b${i % 4}", s"n$i"))
+    val df = rows.toDF("id", "block", "name")
+    val cfg = MatchConfig("ida", "idb", comparisons =
+      ComparisonGroup("g", Seq(VariableSpec("name", "exact"))))
+    def side(id: String) = df.select(col("id").as(id), col("name"), col("block"))
+    val specs = cfg.comparisons.allVariables
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val fanned = Linker.buildPairs(side("ida"), side("idb"), cfg, specs,
+        Seq("block"), None, fanoutPartitions = Some(16))
+      // explicit-numPartitions repartition is never AQE-coalesced: the
+      // comparator fan-out keeps its parallelism on ANY session conf
+      assert(fanned.rdd.getNumPartitions == 16)
+      // and the pair multiset is untouched by the extra exchange
+      assert(fanned.count() ==
+        Linker.buildPairs(side("ida"), side("idb"), cfg, specs, Seq("block")).count())
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+  }
+
+  test("TF frequency-table join is cardinality-gated: broadcast small, shuffle large") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"v${i % 150}")).toDF("id", "name")
+    val specs = Seq(VariableSpec("name", "exact", tfAdjust = true))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill size-based auto-broadcast so the plan reflects OUR gate only
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val low = TermFrequency.withTfColumns(df, specs, "_a")
+      assert(formatted(low).contains("BroadcastHashJoin"), formatted(low))
+      val high = TermFrequency.withTfColumns(df, specs, "_a", broadcastMaxDistinct = 10L)
+      val planHigh = formatted(high)
+      assert(!planHigh.contains("BroadcastHashJoin"), planHigh)
+      // identical TF values either way
+      val a = low.orderBy("id").select("tf_name_a").collect().map(_.getDouble(0)).toSeq
+      val b = high.orderBy("id").select("tf_name_a").collect().map(_.getDouble(0)).toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("distinct-value rewrite broadcasts the scored distinct table") {
     import spark.implicits._
     val pairs = Seq(("a", "MARTHA", "MARHTA"), ("b", "MARTHA", "MARHTA"))

@@ -128,6 +128,55 @@ class TextOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@3 with 3/8 cells probed = $recall")
   }
 
+  test("IVF k-means refinement beats degenerate lowest-id centroids at partial probe") {
+    // clustered corpus where the nCells lowest ids all sit in only 4 of the
+    // 8 clusters — the raw-seed worst case the k-means pass exists to fix
+    val n = 160
+    val dim = 8
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d => {
+        val cluster = when(col("id") < 8, (col("id") / 2).cast("int"))
+          .otherwise(pmod(col("id"), lit(8)).cast("int"))
+        val center = when(d === cluster, lit(1.0)).otherwise(lit(0.05))
+        val noise = (pmod(xxhash64(col("id"), d), lit(200)).cast("double") - 100.0) / 2000.0
+        center + noise
+      }).as("embedding")).cache()
+    val queries = vecs.filter($"vec_id" >= 40 && $"vec_id" < 60)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3))
+    def recall(kmIters: Int): Double = {
+      val got = asSet(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 3,
+        nCells = 8, nProbe = 1, kmeansIters = kmIters))
+      (got & brute).size.toDouble / brute.size
+    }
+    val raw = recall(0)
+    val refined = recall(2)
+    assert(refined > raw, s"k-means recall $refined must beat raw-seed recall $raw")
+    assert(refined >= 0.9, s"k-means recall@3 at nProbe=1 on separable clusters = $refined")
+  }
+
+  test("image decode: real PNG bytes -> exact dims, deterministic features, unit histogram") {
+    val png = Multimodal.syntheticPng(7L)
+    val f = Multimodal.decodeImage(png, 16)
+    assert(f != null && f.length == 16)
+    assert(f(0) == 8.0f && f(1) == 8.0f) // true decoded dimensions
+    assert(f.drop(5).sum > 0.999f && f.drop(5).sum < 1.001f) // histogram mass
+    // deterministic: same bytes -> same features; different seed -> different
+    assert(Multimodal.decodeImage(png, 16).toSeq == f.toSeq)
+    assert(Multimodal.decodeImage(Multimodal.syntheticPng(8L), 16).toSeq != f.toSeq)
+    // corrupt payload -> null (not a crash)
+    assert(Multimodal.decodeImage("not a png".getBytes, 16) == null)
+    // and the batched pipeline routes image rows through the real decoder
+    val media = Multimodal.syntheticMedia(docs.limit(30), "doc_id", "text")
+    val img = media.filter($"kind" === "image").select("media_id").collect()
+      .map(_.getLong(0)).toSet
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]](1)).toMap
+    img.foreach { id => assert(feats(id)(0) == 8.0f && feats(id)(1) == 8.0f) }
+  }
+
   test("embedding dup pairs: brute-force threshold pairs; LSH path is a subset with the twin found") {
     val n = 80
     val vecs = spark.range(n).select(col("id").as("vec_id"),

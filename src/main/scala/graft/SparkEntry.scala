@@ -166,7 +166,8 @@ object SparkEntry {
           VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
     def side(id: String) = pages.select(col("page_id").as(id), col("title"),
       col("text_head"), col("n_tokens"), col("block"))
-    val res = Linker.link(side("ida"), side("idb"), cfg, blockCols = Seq("block"))
+    val res = Linker.link(side("ida"), side("idb"), cfg, blockCols = Seq("block"),
+      maxBlockRows = Some(400L), fanoutPartitions = Some(pairFanout(spark)))
     val matched = res.matches().filter(col("id_a") < col("id_b"))
     val comps = ConnectedComponents.clusterPairs(matched)
     matched

@@ -360,6 +360,39 @@ object SparkEntry {
         .select(col("text_hash"), col("n_docs"), col("keeper_id"))
         .orderBy("text_hash")
     }),
+    "q_dedup_canonical" -> ((s, dir) => {
+      // keep-policy dedup: every doc maps to the best (max pref, min id)
+      // copy of its normalized text — corpus = documents + planted dups
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text"))
+        .union(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .withColumn("pref", pmod(col("doc_id") * 31, lit(97)))
+      Dedup.canonicalize(corpus, "doc_id", "text", "pref")
+        .select("doc_id", "canonical_id")
+        .orderBy("doc_id")
+    }),
+    "q_token_freq" -> ((s, dir) => {
+      // corpus vocabulary: normalized-token frequencies with doc counts
+      TextStats.tokenFrequencies(t(s, dir, "documents"), "doc_id", "text", minCount = 5)
+        .orderBy("token")
+    }),
+    "q_sample_split" -> ((s, dir) => {
+      // deterministic hash-split (train/val) — engine-portable md5 rule
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id", trainFraction = 0.8)
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+    "q_contamination" -> ((s, dir) => {
+      // benchmark-contamination: planted bench copies of every 5th doc must
+      // surface their train-side source via shared 3-gram shingles
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.contaminationPairs(bench, d, "doc_id", "text",
+          shingleSize = 3, minShared = 5, maxShingleDf = 1000)
+        .orderBy("bench_id", "train_id")
+    }),
     "q_dedup_jaccard" -> ((s, dir) => {
       // tokens materialized per doc BEFORE the pair join (array lambdas are
       // interpreted, so they must run O(rows), not O(pairs))
@@ -552,6 +585,52 @@ object SparkEntry {
          |SELECT md5($norm) AS text_hash, count(*) AS n_docs,
          | min(doc_id) AS keeper_id
          |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+    },
+    "q_dedup_canonical" -> {
+      val norm = normSql("text")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, (doc_id * 31) % 97 AS pref FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, ((doc_id + 1000000) * 31) % 97
+         |  FROM documents WHERE doc_id % 5 = 0)
+         |SELECT doc_id, first_value(doc_id) OVER (
+         |  PARTITION BY md5($norm) ORDER BY pref DESC, doc_id ASC) AS canonical_id
+         |FROM corpus ORDER BY doc_id""".stripMargin
+    },
+    "q_token_freq" -> {
+      val norm = normSql("text")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS token FROM documents)
+         |SELECT token, count(*) AS n_occurrences,
+         | count(DISTINCT doc_id) AS n_docs
+         |FROM toks WHERE token <> ''
+         |GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin
+    },
+    "q_sample_split" ->
+      """SELECT CASE WHEN substring(md5(cast(doc_id AS varchar)), 1, 2) < 'cc'
+        | THEN 'train' ELSE 'val' END AS split, lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_contamination" -> {
+      // shingle twin of graft.functions.TextKernels.shingles: windows of 3
+      // normalized tokens; a shorter doc yields ONE whole-array shingle;
+      // empties dropped
+      val norm = normSql("text")
+      val toks = s"string_split($norm, ' ')"
+      val shingles =
+        s"""list_filter(list_transform(
+           |   generate_series(1, greatest(len($toks) - 3, 0) + 1),
+           |   i -> array_to_string($toks[i:least(i + 2, len($toks))], ' ')),
+           |  x -> x <> '')""".stripMargin
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($shingles)) AS s FROM documents),
+         | hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         | tsh AS (SELECT doc_id AS train_id, s FROM sh
+         |         WHERE s NOT IN (SELECT s FROM hot)),
+         | bsh AS (SELECT doc_id + 1000000 AS bench_id, s FROM sh
+         |         WHERE doc_id % 5 = 0)
+         |SELECT bench_id, train_id, count(*) AS n_shared
+         |FROM bsh JOIN tsh USING (s)
+         |GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""".stripMargin
     },
     "q_dedup_jaccard" -> {
       def toks(c: String) = s"list_distinct(string_split(${normSql(c)}, ' '))"

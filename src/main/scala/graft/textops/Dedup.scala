@@ -50,6 +50,67 @@ object Dedup {
     docs.join(keepers, idCol).drop("__h")
   }
 
+  /** Canonicalization with a keep-policy: every row gets a `canonical_id` —
+    * the id of the best row (max `preferCol`, ties to min id) among rows
+    * sharing its normalized text. The dedup counterpart of "keep the
+    * highest-quality copy" in a training-data pipeline. One shuffle (window
+    * over the text hash).
+    */
+  def canonicalize(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      preferCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__h").orderBy(col(preferCol).desc, col(idCol).asc)
+    docs
+      .withColumn("__h", md5(normalizeText(col(textCol))))
+      .withColumn("canonical_id", first(col(idCol)).over(w))
+      .drop("__h")
+  }
+
+  /** Distinct token n-gram shingles over NORMALIZED text (the oracle-aligned
+    * shingle definition: [[normalizeText]] then space-split, vs
+    * [[distinctShingles]]' raw whitespace split).
+    */
+  def normalizedShingles(text: Column, n: Int): Column =
+    array_distinct(Blocking.shinglesFromTokens(split(normalizeText(text), " "), n))
+
+  /** Benchmark-contamination check: for every (bench doc, train doc) pair
+    * sharing at least `minShared` distinct normalized `shingleSize`-gram
+    * shingles, the shared count. The decontamination primitive of a
+    * training-data pipeline (did benchmark text leak into the corpus?).
+    *
+    * Scale shape: shingles materialize once per doc, explode, and the two
+    * sides EQUI-JOIN on the shingle string — never a doc-pair cross join.
+    * Shingles present in more than `maxShingleDf` train docs are dropped
+    * first (stopword-like shingles carry no contamination signal and their
+    * join fan-out is quadratic); the cap is part of the operator's contract
+    * so the result is exactly reproducible (and oracle-checkable) — not a
+    * silent truncation.
+    */
+  def contaminationPairs(
+      bench: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minShared: Long = 2,
+      maxShingleDf: Long = 1000): DataFrame = {
+    def side(df: DataFrame, outId: String) = df.select(
+      col(idCol).as(outId),
+      explode(normalizedShingles(col(textCol), shingleSize)).as("__sh"))
+    val tsh = side(train, "train_id")
+    val hot = tsh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf)
+    val tshCapped = tsh.join(broadcast(hot), Seq("__sh"), "left_anti")
+    side(bench, "bench_id")
+      .join(tshCapped, "__sh")
+      .groupBy("bench_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Jaccard of two pre-materialized distinct-element array columns. */
   def jaccardArrays(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -113,6 +113,27 @@ object TextStats {
   def fingerprintMd5(text: Column): Column =
     substring(md5(Dedup.normalizeText(text)), 1, 16)
 
+  /** Corpus-level token frequency table over normalized tokens:
+    * (token, n_occurrences, n_docs), tokens below `minCount` occurrences
+    * dropped. One explode + one partial+final hash aggregate — the
+    * vocabulary-building primitive of a text pipeline; at 100 TB the
+    * map-side combine collapses each partition to its local vocabulary
+    * before the shuffle.
+    */
+  def tokenFrequencies(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 1): DataFrame =
+    docs
+      .select(col(idCol).as("__id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("__id")).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+
   /** Full per-document stats projection. */
   def documentStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -197,6 +197,66 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh.contains((0L, 1000L)), "near-identical twin must share all SRP sign bits")
   }
 
+  test("canonicalize keep-policy: best copy wins, ties to min id, uniques self-map") {
+    val df = Seq(
+      (1L, "The cat sat!", 10),  // dup group (normalizes equal)
+      (2L, "the cat sat", 50),   // best pref -> keeper
+      (3L, "THE CAT SAT.", 50),  // tied pref -> loses to lower id 2
+      (4L, "something else", 1)  // unique -> itself
+    ).toDF("doc_id", "text", "pref")
+    val got = Dedup.canonicalize(df, "doc_id", "text", "pref")
+      .select("doc_id", "canonical_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("hash split is deterministic, partitioning, and near the target fraction") {
+    val df = spark.range(2000).select(col("id").as("doc_id"))
+    val s1 = Sampling.hashSplit(df, "doc_id", 0.8).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(s1("train") / 2000.0 - 0.8) < 0.05, s1.toString)
+    // repeat run = identical assignment (hash of id, no RNG)
+    val a1 = Sampling.hashSplit(df, "doc_id", 0.8).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a2 = Sampling.hashSplit(df.repartition(7), "doc_id", 0.8).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a1 == a2, "assignment must not depend on partition layout")
+    // hashSample(f) keeps exactly the train side of hashSplit(f)
+    val kept = Sampling.hashSample(df, "doc_id", 0.8).collect().map(_.getLong(0)).toSet
+    assert(kept == a1.filter(_._2 == "train").map(_._1))
+    // different salt -> different assignment
+    val salted = Sampling.hashSplit(df, "doc_id", 0.8, salt = "x").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted != a1)
+  }
+
+  test("contamination: a planted benchmark copy surfaces its training source") {
+    val train = docs.limit(40).select(col("doc_id"), col("text"))
+    val bench = train.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    val hits = Dedup.contaminationPairs(bench, train, "doc_id", "text",
+        shingleSize = 3, minShared = 5, maxShingleDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expectedSources = train.filter($"doc_id" % 4 === 0).collect().map(_.getLong(0)).toSet
+    expectedSources.foreach { src =>
+      assert(hits.exists(h => h._1 == src + 5000L && h._2 == src),
+        s"planted copy of $src not flagged")
+    }
+    // the copy pair shares the most shingles among that bench doc's hits
+    expectedSources.foreach { src =>
+      val mine = hits.filter(_._1 == src + 5000L)
+      assert(mine.maxBy(_._3)._2 == src)
+    }
+  }
+
+  test("token frequencies match a hand count") {
+    val df = Seq((1L, "the cat and the dog"), (2L, "THE cat!")).toDF("doc_id", "text")
+    val got = TextStats.tokenFrequencies(df, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("the") == ((3L, 2L)))
+    assert(got("cat") == ((2L, 2L)))
+    assert(got("dog") == ((1L, 1L)))
+    assert(!got.contains(""))
+  }
+
   test("language id identifies stopword-bearing text") {
     val samples = Seq(
       ("the cat and the dog walked to the park in the morning", "en"),

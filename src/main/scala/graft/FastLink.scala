@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.config.MatchConfig
+import graft.operators.{EmLink, Linker}
+
+/** Reference-compatible entry point — the drop-in surface for a user of
+  * `fastLink(dfA, dfB, config)` (`/root/reference/src/fastlink/fastlink.jl:14-129`),
+  * taking the reference's JSON config shape verbatim
+  * (`/root/reference/test_parameters.json`).
+  *
+  * Differences by design (Spark execution model, not semantics):
+  *  - `blockCols` replaces the reference's dense all-pairs |A|x|B| matrix;
+  *    pass Nil to reproduce all-pairs exactly (test scale only — the
+  *    `Sum counts == |A|*|B|` identity then holds).
+  *  - "ids" (the reference's per-pattern driver-side id-pair vectors,
+  *    `indices_to_uids`) stays a DISTRIBUTED DataFrame keyed by pattern_id:
+  *    collecting O(pairs) id tuples onto the driver is the one reference
+  *    behavior that cannot survive scale. `idPairs(patternId)` filters one
+  *    pattern; `result.matches()` thresholds.
+  */
+object FastLink {
+
+  /** The reference's output Dict, typed: EM results + distributed id pairs
+    * (+ TF-adjusted pair scores when any variable has tf_adjust).
+    */
+  final case class FastLinkResult(
+      idvar: (String, String),
+      link: Linker.LinkResult) {
+    def resultsEM: EmLink.EmResult = link.em
+    /** patterns_w twin: gammas, counts, weights, p_gamma_jm/ju, zeta_j. */
+    def patternsW: DataFrame = link.patternStats
+    /** id pairs of one pattern (the reference's `ids[i]`), distributed. */
+    def idPairs(patternId: Int): DataFrame =
+      link.pairs.filter(col("pattern_id") === patternId).select("id_a", "id_b")
+    /** reference getMatches(output, threshold). */
+    def getMatches(threshold: Option[Double] = None): DataFrame =
+      link.matches(threshold)
+    /** reference tf_adj_table. */
+    def tfAdjTable: DataFrame = link.tfAdjTable
+  }
+
+  /** fastLink(dfA, dfB, configJson) — config is the reference's JSON. */
+  def link(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      configJson: String,
+      blockCols: Seq[String] = Nil,
+      maxBlockRows: Option[Long] = None,
+      fanoutPartitions: Option[Int] = None): FastLinkResult = {
+    val cfg = MatchConfig.fromJson(configJson)
+    val res = Linker.link(dfA, dfB, cfg, blockCols = blockCols,
+      maxBlockRows = maxBlockRows, fanoutPartitions = fanoutPartitions)
+    FastLinkResult((cfg.idA, cfg.idB), res)
+  }
+
+  /** Dedupe mode: self-link of one table, each unordered pair once
+    * (id_a < id_b). The reference's `link_type=dedupe_only` is declared but
+    * never implemented (`config["link_type"]` is never read by src/ code);
+    * this is the working equivalent.
+    */
+  def dedupe(
+      df: DataFrame,
+      cfg: MatchConfig,
+      blockCols: Seq[String],
+      maxBlockRows: Option[Long] = None,
+      fanoutPartitions: Option[Int] = None): Linker.LinkResult = {
+    val res = Linker.link(df.withColumnRenamed(cfg.idA, "__ida"),
+      df.withColumnRenamed(cfg.idA, "__idb"),
+      cfg.copy(idA = "__ida", idB = "__idb"),
+      blockCols = blockCols, maxBlockRows = maxBlockRows,
+      fanoutPartitions = fanoutPartitions)
+    res.copy(pairs = res.pairs.filter(col("id_a") < col("id_b")))
+  }
+}

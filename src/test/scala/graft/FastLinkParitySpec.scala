@@ -77,6 +77,48 @@ class FastLinkParitySpec extends SparkSpec {
     }
   }
 
+  test("FastLink facade: reference JSON config reproduces the goldens; dedupe mode") {
+    // the reference's README/JSON config shape, verbatim field names
+    val json =
+      """{
+        | "idvar": ["ida", "idb"],
+        | "link_type": "link_only",
+        | "comparisons": {
+        |   "name": "total",
+        |   "threshold_match": 0.85,
+        |   "variables": [
+        |     {"varname": "firstname", "method": "jarowinkler", "cut_a": 0.92, "cut_b": 0.88, "w": 0.1},
+        |     {"varname": "middlename", "method": "jarowinkler", "cut_a": 0.92, "cut_b": 0.88, "w": 0.1},
+        |     {"varname": "lastname", "method": "jarowinkler", "cut_a": 0.92, "cut_b": 0.88, "w": 0.1},
+        |     {"varname": "housenum", "method": "numeric", "cut_a": 1, "cut_b": 2}
+        |   ]
+        | }
+        |}""".stripMargin
+    def prep(path: String, id: String) = {
+      val df = CsvFixtures.readWithRowId(spark, resource(path), id)
+      Seq("firstname", "middlename", "lastname").foldLeft(df)(
+        (acc, c) => acc.withColumn(c, upper(col(c))))
+    }
+    val out = FastLink.link(prep("dfA.csv", "ida"), prep("dfB.csv", "idb"), json)
+    assert(out.idvar == (("ida", "idb")))
+    assert(out.resultsEM.numberOfUniquePatterns == 26)
+    assert(out.resultsEM.matchedPatterns.map(_.count).sum == 50L)
+    assert(out.getMatches().count() == 50L)
+    assert(out.patternsW.count() == 26)
+    // per-pattern id pairs: the matched patterns' pair sets sum to 50
+    val matchedIds = out.patternsW.filter(col("zeta_j") >= 0.85)
+      .select("pattern_id").collect().map(_.getInt(0))
+    assert(matchedIds.map(out.idPairs(_).count()).sum == 50L)
+    // tfAdjTable has the ones-shape for a no-TF config
+    assert(out.tfAdjTable.columns.count(_.startsWith("tf_")) == 8)
+
+    // dedupe mode: self-link of dfA on a constant block, unordered pairs once
+    val dfA = prep("dfA.csv", "ida").withColumn("block", lit(1))
+    val dd = FastLink.dedupe(dfA, cfg.copy(idA = "ida"), blockCols = Seq("block"))
+    assert(dd.em.patterns.map(_.count).sum == 500L * 500) // full self cross
+    assert(dd.pairs.count() == 500L * 499 / 2) // each unordered pair once
+  }
+
   test("distinct-value rewrite yields identical gammas") {
     // the pooled-kernel plan shape (score distinct value pairs, broadcast
     // back) must be a pure optimization: same gamma distribution

@@ -46,6 +46,67 @@ object StreamingOps {
           })
   }
 
+  case class BandedDoc(bucket: Long, id: Long, sig: Seq[Long])
+  case class NearDupHit(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Stateful streaming NEAR-duplicate detection: incoming documents are
+    * MinHash-banded; per band bucket, the state holds the (id, signature)
+    * of previously seen members (capped at `maxPerBucket` — the streaming
+    * twin of the batch degenerate-bucket cap) and each arrival is compared
+    * against them by signature-estimated Jaccard (fraction of agreeing
+    * minhash components — the standard one-pass proxy; the batch path
+    * [[graft.textops.Dedup.minhashDupPairs]] verifies with TRUE shingle
+    * Jaccard, which a stream cannot without retaining every shingle set).
+    * Emits (id_a, id_b, est_jaccard) with id_a < id_b; a pair colliding in
+    * several bands can be emitted once per band — `.dropDuplicates` within
+    * the consumer's sink if exact-once pairs matter.
+    *
+    * Scale shape: state is O(docs * bands) rows of (long + numHashes
+    * longs), partitioned by bucket key across the state store; per-arrival
+    * cost is |bucket| signature comparisons, bounded by the cap.
+    */
+  def nearDupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxPerBucket: Int = 1000): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Blocking
+    val rows = numHashes / bands
+    val sig = Blocking.minhashSignature(
+      Dedup.distinctShingles(col(textCol), shingleSize), numHashes)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(Blocking.bandKeys(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+      .select(col("bucket"), col("id"), col("sig")).as[BandedDoc]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, arrivals: Iterator[BandedDoc], state: GroupState[List[(Long, Seq[Long])]]) => {
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          arrivals.toSeq.sortBy(_.id).foreach { d =>
+            if (!seen.exists(_._1 == d.id)) {
+              seen.foreach { case (pid, psig) =>
+                val matches = psig.zip(d.sig).count { case (a, b) => a == b }
+                val est = matches.toDouble / psig.size
+                if (est >= threshold)
+                  out += NearDupHit(math.min(pid, d.id), math.max(pid, d.id), est)
+              }
+              if (seen.size < maxPerBucket) seen = (d.id, d.sig) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+        })
+  }
+
   /** Incremental linkage: link a STREAM of incoming records against a
     * static reference table, scoring with EM parameters estimated offline by
     * the batch engine ([[graft.operators.Linker.link]]). Per micro-batch:

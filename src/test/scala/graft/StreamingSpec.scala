@@ -29,6 +29,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: banded signature state flags cross-batch near-duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight") // one token differs
+    val unrelated = "completely different words about spark catalyst plans and shuffles here"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.nearDupStream(docs, "doc_id", "text",
+        threshold = 0.4, shingleSize = 3, numHashes = 16, bands = 4)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base), (2L, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() == 0) // nothing similar yet
+      // near-dup of doc 1 arrives in a LATER micro-batch
+      input.addData((3L, nearDup))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_out").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((1L, 3L)), s"got $hits")
+      // exact duplicate (same text) of an already-seen doc also flags
+      input.addData((4L, unrelated))
+      q.processAllAvailable()
+      val hits2 = spark.table("neardup_out").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits2 == Set((1L, 3L), (2L, 4L)), s"got $hits2")
+    } finally q.stop()
+  }
+
   test("streaming incremental linkage: stream-static block join + batch EM weights") {
     import graft.config._
     import graft.operators.EmLink

@@ -200,6 +200,80 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Writes a PERSISTED cell-partitioned IVF index: the corpus is assigned
+    * once to its nearest (k-means-refined) centroid and written
+    * `partitionBy(cell)`; centroids land beside it. At 100 TB this is the
+    * one-off batch indexing job — queries then touch only their probed
+    * cells' files (partition pruning), never the full corpus.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCells: Int = 16,
+      kmeansIters: Int = 1): Unit = {
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters)
+      else corpus
+        .select(col(idCol).cast("long").as("__cent_id"),
+          transform(col(vecCol), x => x.cast("double")).as("__cent"))
+        .orderBy("__cent_id").limit(nCells)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy(col("__cos").desc, col("__cent_id").asc)
+    corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosine(col("vec"), col("__cent")))
+      .withColumn("__p", row_number().over(w))
+      .filter(col("__p") === 1)
+      .select(col("id"), col("vec"), col("__cent_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.select(col("__cent_id").as("cell"), col("__cent").as("vec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_centroids")
+  }
+
+  /** Top-k search against a persisted IVF index: queries are assigned to
+    * their `nProbe` nearest centroids (broadcast of the tiny centroid
+    * table), the probed cell set is collected (|queries| * nProbe distinct
+    * values — driver-small by contract), and the index scan carries an
+    * explicit `cell IN (...)` partition filter — the physical plan reads
+    * ONLY the probed directories (assertable via PartitionFilters in the
+    * scan node; PlanSpec does).
+    */
+  def queryIvfIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/_graft_centroids")
+      .select(col("cell").as("__cent_id"), col("vec").as("__cent"))
+    val wq = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("__cent_id").asc)
+    val q = queries
+      .select(col(idCol).as("query_id"), transform(col(vecCol), x => x.cast("double")).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos", cosine(col("__qv"), col("__cent")))
+      .withColumn("__p", row_number().over(wq))
+      .filter(col("__p") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cent_id").as("cell"))
+    val probedCells = q.select("cell").distinct().collect().map(_.getLong(0))
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*)) // static partition pruning
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    index.withColumnRenamed("id", "neighbor_id")
+      .join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Bucketed ANN top-k: probe the query's SRP bucket, plus (multi-probe)
     * every bucket within `probeBits` sign-bit flips — a vector near a
     * hyperplane lands on either side with near-even odds, so flipping the

@@ -177,6 +177,33 @@ class TextOpsSpec extends SparkSpec {
     img.foreach { id => assert(feats(id)(0) == 8.0f && feats(id)(1) == 8.0f) }
   }
 
+  test("persisted IVF index: exhaustive probe = brute force; partial probe prunes partitions") {
+    val n = 120
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0))
+        .as("embedding")).cache()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", dir, nCells = 8, kmeansIters = 1)
+    val queries = vecs.filter($"vec_id" < 10)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = asSet(Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3))
+    val full = asSet(Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir, 3, nProbe = 8))
+    assert(full == brute, "exhaustive probe over the persisted index must equal brute force")
+    // partial probe: the scan must carry a partition filter on `cell`
+    val partial = Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir, 3, nProbe = 2)
+    val scan = partial.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains(dir.split('/').last))
+      .getOrElse(partial.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString)
+    assert(scan.contains("PartitionFilters") && scan.contains("cell IN") ||
+      scan.contains("cell#"), s"no partition pruning in scan:\n$scan")
+    val recall = (asSet(partial) & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@3 with 2/8 cells probed = $recall")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("embedding dup pairs: brute-force threshold pairs; LSH path is a subset with the twin found") {
     val n = 80
     val vecs = spark.range(n).select(col("id").as("vec_id"),

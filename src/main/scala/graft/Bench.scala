@@ -229,27 +229,69 @@ object Bench {
         r
       }.minBy(_._2)
 
+    // ---- progressive result assembly ----
+    // The snapshot file is rewritten after EVERY completed phase, so a
+    // harness timeout mid-run still leaves a parseable BENCH.json with
+    // everything measured so far (a killed process prints no stdout line).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    var total = queryTimes.map(_._2).sum
+    val lk = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def renderLine(): String = {
+      val linkage =
+        if (lk.isEmpty) ""
+        else lk.map { case (k, v) => s""""$k":$v""" }
+          .mkString(""","link_and_cluster":{""", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir"$linkage}"""
+    }
+    def writeSnapshot(): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), renderLine() + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
+    writeSnapshot() // phase-1 timings are in hand
+
     // peak throughput at the widest sensible thread count
     spark = session(cpusPeak)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup
     val (peakStatsAny, secPeak) = bestOf(s"peak=$cpusPeak cores", 1)
     val peakStats = peakStatsAny.asInstanceOf[RunStats]
     spark.stop()
+    lk("cpus_peak") = cpusPeak.toString
+    lk("sec_peak") = f"$secPeak%.3f"
+    lk("pairs_per_sec_peak") = f"${peakStats.nComparisons / secPeak}%.0f"
+    writeSnapshot()
 
     spark = session(cpus4N)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup: JIT-equalize the levels
     val (stats4NAny, sec4N) = bestOf(s"4N=$cpus4N cores", reps)
     val stats4N = stats4NAny.asInstanceOf[RunStats]
+    total += sec4N
+    lk("n_comparisons") = stats4N.nComparisons.toString
+    lk("n_matched") = stats4N.nMatched.toString
+    lk("n_clusters") = stats4N.nClusters.toString
+    lk("pairwise_f1") = f"${stats4N.f1}%.4f"
+    lk("cpus_n") = cpusN.toString
+    lk("cpus_4n") = cpus4N.toString
+    lk("sec_4n") = f"$sec4N%.3f"
+    lk("pairs_per_sec_4n") = f"${stats4N.nComparisons / sec4N}%.0f"
+    writeSnapshot()
     // heavy phase (pairs+gammas only) at the same level, half size
     scorePhase(spark, benchBase / 4, nHosts) // warmup
     spark.catalog.clearCache()
     val (_, secScore4N) = bestOf(s"score 4N=$cpus4N", math.max(reps - 1, 2),
       scorePhase(_, benchBase / 2, nHosts))
+    lk("sec_score_4n") = f"$secScore4N%.3f"
     // reference-style per-variable timings (once, at the 4N level)
     val benchtimes = perVariableTimes(spark, benchBase / 2, nHosts)
     benchtimes.foreach { case (v, s) =>
       System.err.println(f"[bench] benchtime $v%-12s $s%6.2f s") }
+    lk("benchtimes") = benchtimes
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     spark.stop()
+    writeSnapshot()
 
     spark = session(cpusN)
     // quarter-size warmup at the slow level: JIT-equalizing matters, but a
@@ -257,43 +299,24 @@ object Bench {
     linkAndCluster(spark, benchBase / 4, nHosts)
     val (statsNAny, secN) = bestOf(s"N=$cpusN cores", math.max(reps - 1, 2))
     val statsN = statsNAny.asInstanceOf[RunStats]
+    val thrN = statsN.nComparisons / secN
+    val eff = ((stats4N.nComparisons / sec4N) / thrN) / (cpus4N.toDouble / cpusN)
+    lk("sec_n") = f"$secN%.3f"
+    lk("pairs_per_sec_n") = f"$thrN%.0f"
+    lk("scaling_efficiency") = f"$eff%.3f"
+    writeSnapshot()
     scorePhase(spark, benchBase / 4, nHosts) // warmup
     spark.catalog.clearCache()
     val (_, secScoreN) = bestOf(s"score N=$cpusN", math.max(reps - 1, 2),
       scorePhase(_, benchBase / 2, nHosts))
     spark.stop()
+    lk("sec_score_n") = f"$secScoreN%.3f"
+    lk("scaling_efficiency_score") =
+      f"${(secScoreN / secScore4N) / (cpus4N.toDouble / cpusN)}%.3f"
 
-    val thr4N = stats4N.nComparisons / sec4N
-    val thrN = statsN.nComparisons / secN
-    val thrPeak = peakStats.nComparisons / secPeak
-    val eff = (thr4N / thrN) / (cpus4N.toDouble / cpusN)
-    val effScore = (secScoreN / secScore4N) / (cpus4N.toDouble / cpusN)
-
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val bt = benchtimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum + sec4N
-    val linkage =
-      s"""{"n_comparisons":${stats4N.nComparisons},"n_matched":${stats4N.nMatched},""" +
-        s""""n_clusters":${stats4N.nClusters},""" +
-        f""""pairwise_f1":${stats4N.f1}%.4f,""" +
-        s""""cpus_n":$cpusN,"cpus_4n":$cpus4N,"cpus_peak":$cpusPeak,""" +
-        f""""sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"sec_peak":$secPeak%.3f,""" +
-        f""""pairs_per_sec_n":${thrN}%.0f,"pairs_per_sec_4n":${thr4N}%.0f,""" +
-        f""""pairs_per_sec_peak":${thrPeak}%.0f,""" +
-        f""""scaling_efficiency":$eff%.3f,""" +
-        f""""sec_score_n":$secScoreN%.3f,"sec_score_4n":$secScore4N%.3f,""" +
-        f""""scaling_efficiency_score":$effScore%.3f,""" +
-        s""""benchtimes":$bt}"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","link_and_cluster":$linkage}"""
     // File first (survives any stdout mangling by the invoking harness),
     // then the bare final stdout line.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
-    println(line)
+    writeSnapshot()
+    println(renderLine())
   }
 }

@@ -112,6 +112,50 @@ object Blocking {
     a.join(b, Seq(keyCol), "inner").filter(col("id_a") < col("id_b"))
   }
 
+  /** North-star composite blocking key set for web pages
+    * (BASELINE.json: "host + lang + text-shingle MinHash band"): each row
+    * emits ONE `hl|host|lang` key plus one key per MinHash band of its
+    * text shingles. Two pages become candidates if they share ANY key —
+    * same-site near-duplicates via host+lang, cross-site mirrors /
+    * syndicated copies via the text bands, which no host-based key can
+    * reach. Output: (`__id`, `__key` string), multi-row per page; feed to
+    * [[multiKeyCandidatePairs]].
+    */
+  def webPageBlockKeys(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      langCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val hostLang = df.select(col(idCol).as("__id"),
+      concat_ws("|", lit("hl"), host(col(urlCol)), col(langCol)).as("__key"))
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(tokenShingles(col(textCol), shingleSize)).as("__sh"))
+    val bandKeys = minhashBandKeys(sh, "__id", "__sh", numHashes, bands)
+      .select(col("__id"), concat_ws("|", lit("b"), col("__band"), col("__key")).as("__key"))
+    hostLang.union(bandKeys)
+  }
+
+  /** Candidate pairs from ANY multi-key blocking table (`__id`, `__key`):
+    * pairs sharing at least one key, each unordered pair once. Keys held by
+    * more than `maxKeySize` rows are dropped first (degenerate buckets —
+    * same cap rationale as the LSH paths: an information-free key's
+    * self-join output is quadratic in one shuffle group).
+    */
+  def multiKeyCandidatePairs(keys: DataFrame, maxKeySize: Long = 10000): DataFrame = {
+    val hot = keys.groupBy("__key").agg(count(lit(1)).as("__ksz"))
+      .filter(col("__ksz") > maxKeySize)
+    val pruned = keys.join(broadcast(hot), Seq("__key"), "left_anti")
+    pruned.select(col("__key"), col("__id").as("id_a"))
+      .join(pruned.select(col("__key"), col("__id").as("id_b")), Seq("__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** LSH candidate pairs: explode band keys, self-join per (band, key),
     * distinct. `distinct` dedupes pairs sharing several bands before any
     * expensive verification.

@@ -72,6 +72,34 @@ class WebLinkageSpec extends SparkSpec {
     assert(f1 >= 0.99, f"F1 $f1%.4f < 0.99")
   }
 
+  test("composite host+lang+band blocking reaches cross-host mirrors that host blocking cannot") {
+    // plant cross-site mirrors: copies of 50 pages under a different host
+    // page_id = base_id*1e6 + dup_idx; with dupFraction=0 the +1 slot is
+    // free, so mirror id = page_id + 1 is unique and sorts after its source
+    val base = WebCorpus.pages(spark, params.copy(nBase = 500, dupFraction = 0.0))
+    val mirrors = base.filter((col("page_id") / 1000000L).cast("long") % 10 === 0)
+      .select((col("page_id") + 1L).as("page_id"),
+        concat(lit("https://mirror.example.org/copy/"), col("page_id")).as("url"),
+        col("text"), col("lang"))
+    val corpus = base.select("page_id", "url", "text", "lang").union(mirrors).cache()
+    val keys = Blocking.webPageBlockKeys(corpus, "page_id", "url", "lang", "text")
+    val cands = Blocking.multiKeyCandidatePairs(keys).cache()
+    val n = corpus.count()
+    // every planted mirror pair is a candidate, despite sharing NO host
+    val mirrorPairs = mirrors.select((col("page_id") - 1L).as("id_a"),
+      col("page_id").as("id_b"))
+    val missed = mirrorPairs.join(cands, Seq("id_a", "id_b"), "left_anti").count()
+    assert(missed == 0, s"$missed cross-host mirror pairs unreachable")
+    // host+lang-only blocking provably misses ALL of them
+    val hostOnly = Blocking.pairsWithinBlocks(
+      corpus.withColumn("hl", concat_ws("|", Blocking.host(col("url")), col("lang"))),
+      "hl", "page_id")
+    assert(mirrorPairs.join(hostOnly, Seq("id_a", "id_b"), "left_semi").count() == 0)
+    // and the composite candidate set stays far below all-pairs
+    val all = n * (n - 1) / 2
+    assert(cands.count() < all / 5, s"${cands.count()} candidates of $all possible")
+  }
+
   test("transitive clustering recovers planted clusters") {
     val (res, _) = linkResult
     val comps = ConnectedComponents.clusterPairs(res.matches())

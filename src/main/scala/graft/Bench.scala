@@ -118,10 +118,14 @@ object Bench {
       comparisons = ComparisonGroup(name = "bench", variables = benchSpecs))
     val pairs = Linker.buildPairs(benchSide(pages, "ida"), benchSide(pages, "idb"),
       cfg, benchSpecs, Seq("block"), maxBlockRows = Some(1000L))
+    // Sum EVERY gamma column: an agg referencing only one gamma lets Catalyst
+    // column-prune the other five comparator expressions out of the plan, so
+    // the "heavy phase" would time the join plus ONE Jaro-Winkler.
+    val allGammas = benchSpecs
+      .map(s => col(Gamma.gammaColName(s.varname)).cast("long"))
+      .reduce(_ + _)
     Gamma.addGammaColumns(pairs, benchSpecs)
-      .select((Seq("id_a", "id_b") ++ benchSpecs.map(s => Gamma.gammaColName(s.varname)))
-        .map(col): _*)
-      .agg(coalesce(sum(col("gamma_title").cast("long")), lit(0L))).head().getLong(0)
+      .agg(coalesce(sum(allGammas), lit(0L))).head().getLong(0)
   }
 
   /** Reference-style per-variable comparison timings over a persisted pair
@@ -196,12 +200,21 @@ object Bench {
     }
     spark.catalog.clearCache()
     System.err.println("[bench] phase-1 warmup done")
+    // Heavy queries (first rep >= 2 s) get a second rep, min reported: a
+    // single noisy rep on this shared sandbox has swung a query 3x between
+    // rounds (q_dedup_minhash r1->r2); min-of-2 bounds that for the queries
+    // where the swing matters while keeping the cheap tail single-rep.
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
+      def once(): Double = timed {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      }
-      System.err.println(f"[bench] $name%-20s $sec%8.2f s")
+      }._2
+      val first = once()
+      val sec =
+        if (first >= 2.0) { spark.catalog.clearCache(); math.min(first, once()) }
+        else first
+      System.err.println(f"[bench] $name%-20s $sec%8.2f s" +
+        (if (first != sec) f" (rep1 $first%.2f)" else ""))
       name -> sec
     }
 
@@ -255,7 +268,7 @@ object Bench {
     // peak throughput at the widest sensible thread count
     spark = session(cpusPeak)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup
-    val (peakStatsAny, secPeak) = bestOf(s"peak=$cpusPeak cores", 1)
+    val (peakStatsAny, secPeak) = bestOf(s"peak=$cpusPeak cores", math.max(reps - 1, 2))
     val peakStats = peakStatsAny.asInstanceOf[RunStats]
     spark.stop()
     lk("cpus_peak") = cpusPeak.toString

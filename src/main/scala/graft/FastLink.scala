@@ -41,7 +41,14 @@ object FastLink {
     def tfAdjTable: DataFrame = link.tfAdjTable
   }
 
-  /** fastLink(dfA, dfB, configJson) — config is the reference's JSON. */
+  /** fastLink(dfA, dfB, configJson) — config is the reference's JSON.
+    *
+    * Dispatches on the config's `link_type` (which the reference parses but
+    * never reads — a `dedupe_only` config there silently runs A x B linkage):
+    * `dedupe_only` self-links dfA; `link_and_dedupe` dedupes the stacked
+    * dfA UNION dfB (so cross-table matches AND within-table duplicates both
+    * surface, each unordered pair once); anything else is plain A x B.
+    */
   def link(
       dfA: DataFrame,
       dfB: DataFrame,
@@ -50,8 +57,15 @@ object FastLink {
       maxBlockRows: Option[Long] = None,
       fanoutPartitions: Option[Int] = None): FastLinkResult = {
     val cfg = MatchConfig.fromJson(configJson)
-    val res = Linker.link(dfA, dfB, cfg, blockCols = blockCols,
-      maxBlockRows = maxBlockRows, fanoutPartitions = fanoutPartitions)
+    val res = cfg.linkType match {
+      case "dedupe_only" =>
+        dedupe(dfA, cfg, blockCols, maxBlockRows, fanoutPartitions)
+      case "link_and_dedupe" =>
+        dedupe(dfA.unionByName(dfB), cfg, blockCols, maxBlockRows, fanoutPartitions)
+      case _ =>
+        Linker.link(dfA, dfB, cfg, blockCols = blockCols,
+          maxBlockRows = maxBlockRows, fanoutPartitions = fanoutPartitions)
+    }
     FastLinkResult((cfg.idA, cfg.idB), res)
   }
 
@@ -59,18 +73,22 @@ object FastLink {
     * (id_a < id_b). The reference's `link_type=dedupe_only` is declared but
     * never implemented (`config["link_type"]` is never read by src/ code);
     * this is the working equivalent.
+    *
+    * The `id_a < id_b` cut is applied BEFORE pattern aggregation/EM (as a
+    * pair filter), not after: a full self-cross would feed EM N guaranteed
+    * self-pairs (all-agree patterns) plus every unordered pair twice, biasing
+    * p_m and the all-agree pattern's zeta upward.
     */
   def dedupe(
       df: DataFrame,
       cfg: MatchConfig,
       blockCols: Seq[String],
       maxBlockRows: Option[Long] = None,
-      fanoutPartitions: Option[Int] = None): Linker.LinkResult = {
-    val res = Linker.link(df.withColumnRenamed(cfg.idA, "__ida"),
+      fanoutPartitions: Option[Int] = None): Linker.LinkResult =
+    Linker.link(df.withColumnRenamed(cfg.idA, "__ida"),
       df.withColumnRenamed(cfg.idA, "__idb"),
       cfg.copy(idA = "__ida", idB = "__idb"),
       blockCols = blockCols, maxBlockRows = maxBlockRows,
-      fanoutPartitions = fanoutPartitions)
-    res.copy(pairs = res.pairs.filter(col("id_a") < col("id_b")))
-  }
+      fanoutPartitions = fanoutPartitions,
+      pairFilter = Some(col("id_a") < col("id_b")))
 }

@@ -149,6 +149,29 @@ case class TokenShingles(child: Expression, n: Int)
   override def prettyName: String = "token_shingles"
 }
 
+/** 0-based argmax-cosine centroid index — see [[VectorKernels.nearestCell]].
+  * `right` is a (foldable, broadcast-as-literal) array<array<double>> of
+  * centroids; evaluating this inside a plain projection is the shuffle-free
+  * IVF cell assignment.
+  */
+case class NearestCell(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(DoubleType)))
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    VectorKernels.nearestCell(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) => s"graft.functions.VectorKernels.nearestCell($v, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cell"
+}
+
 case class DotProduct(left: Expression, right: Expression) extends VectorExpression {
   override def staticMethod: String = "dot"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -168,6 +191,8 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(exprVec(a), exprVec(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(exprVec(a), exprVec(b)))
+  def nearestCell(vec: Column, cents: Column): Column =
+    col(NearestCell(exprVec(vec), expressionOf(cents.cast("array<array<double>>"))))
   def tokenShingles(toks: Column, n: Int): Column =
     col(TokenShingles(expressionOf(toks.cast("array<string>")), n))
 

@@ -107,7 +107,9 @@ object Linker {
       specs: Seq[VariableSpec],
       blockCols: Seq[String],
       maxBlockRows: Option[Long] = None,
-      fanoutPartitions: Option[Int] = None): DataFrame = {
+      fanoutPartitions: Option[Int] = None,
+      observeA: Option[org.apache.spark.sql.Observation] = None,
+      observeB: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     def side(df: DataFrame, id: String, suffix: String): DataFrame = {
       val varCols = specs.map(_.varname).distinct
       val tf = TermFrequency.withTfColumns(df, specs, suffix)
@@ -118,8 +120,17 @@ object Linker {
             blockCols.map(col))
       tf.select(keep: _*)
     }
-    val a = side(dfA, cfg.idA, "_a")
-    val b = side(dfB, cfg.idB, "_b")
+    // Side row counts ride the pair join's own scan as observed metrics
+    // (zero extra jobs; the old form ran eager dfA.count()/dfB.count() input
+    // scans before the join). The observe node sits ABOVE the narrow side
+    // projection (column pruning already done) and BELOW the salting explode
+    // (each input row counted once, not once per replica); the salting's
+    // oversized-block aggregate reads the un-observed `bRaw` lineage so the
+    // metric isn't accumulated twice in one executed plan.
+    val a0 = side(dfA, cfg.idA, "_a")
+    val a = observeA.fold(a0)(o => a0.observe(o, count(lit(1)).as("n")))
+    val bRaw = side(dfB, cfg.idB, "_b")
+    val b = observeB.fold(bRaw)(o => bRaw.observe(o, count(lit(1)).as("n")))
     // co-partition a join input on its keys with an explicit (never
     // AQE-coalesced) partition count — see FAN-OUT PARALLELISM above
     def fan(df: DataFrame, keys: Seq[String]): DataFrame = fanoutPartitions match {
@@ -140,7 +151,7 @@ object Linker {
         // with salt s on its own side is replicated across the other side's
         // ns salts. Every (a,b) pair appears in exactly one cell:
         // (x = salt(a), y = salt(b)).
-        val oversized = b.groupBy(blockCols.map(col): _*)
+        val oversized = bRaw.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > cap)
           .withColumn("__ns", ceil(col("__bn") / cap.toDouble).cast("int"))
@@ -180,14 +191,22 @@ object Linker {
       persist: Boolean = true,
       maxBlockRows: Option[Long] = None,
       persistPath: Option[String] = None,
-      fanoutPartitions: Option[Int] = None): LinkResult = {
+      fanoutPartitions: Option[Int] = None,
+      pairFilter: Option[Column] = None): LinkResult = {
     val spark = dfA.sparkSession
     val allSpecs = cfg.comparisons.allVariables
-    val nA = dfA.count()
-    val nB = dfB.count()
+    // Input sizes (numberOfComparisons, lambda-prior scaling) are observed
+    // metrics on the pair join's own side scans — no eager dfA.count()/
+    // dfB.count() jobs before the join. `dims` must only be forced after the
+    // first action on `pairs` (the persist / pattern collect below).
+    val obsA = org.apache.spark.sql.Observation()
+    val obsB = org.apache.spark.sql.Observation()
 
     var pairs = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows,
-      fanoutPartitions)
+      fanoutPartitions, Some(obsA), Some(obsB))
+    pairFilter.foreach(f => pairs = pairs.filter(f))
+    lazy val dims: (Long, Long) =
+      (obsA.get("n").asInstanceOf[Long], obsB.get("n").asInstanceOf[Long])
 
     // gamma columns for every leaf variable (one codegen'd projection; the
     // distinct-value rewrite is applied per variable where it pays)
@@ -228,7 +247,7 @@ object Linker {
     stages.dropRight(1).foreach { g =>
       val vars = effectiveVarnames(g)
       val em = EmLink.run(Patterns.collect(Patterns.aggregate(pairs, vars), vars),
-        (nA, nB), vars, g.em)
+        dims, vars, g.em)
       childResults += StageResult(g, em)
       // Non-final threshold uses sigmoid(weight), NOT zeta (reference
       // `get_match_patternids` via bf_to_probability, patterns.jl:143-153,:200)
@@ -257,7 +276,7 @@ object Linker {
     val rootVars = effectiveVarnames(root)
     val emFinal = EmLink.run(
       Patterns.collect(Patterns.aggregate(pairs, rootVars), rootVars),
-      (nA, nB), rootVars, root.em)
+      dims, rootVars, root.em)
     val stats = Patterns.statsDf(spark, emFinal)
     var annotated = Patterns.attach(pairs, stats, rootVars)
 

@@ -102,47 +102,84 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Spherical k-means refinement of IVF centroids: start from the `nCells`
-    * lowest-id vectors (deterministic), then `iters` rounds of
-    * assign-to-nearest (broadcast centroid table, corpus never shuffles to
-    * assign) + per-cell per-dimension mean (posexplode -> partial+final hash
-    * aggregate, O(rows * dim) map-side). Centroids are collected between
-    * rounds (<= nCells * dim doubles — driver-tiny) so each round's plan
-    * starts from literal values instead of a growing lineage.
+  /** Per-row nearest-centroid id as ONE projection expression: the centroid
+    * matrix rides along as an array<array<double>> literal (tiny — nCells x
+    * dim doubles, broadcast with the task binary) and the codegen argmax
+    * kernel ([[graft.functions.VectorKernels.nearestCell]]) picks the cell.
+    * Zero shuffle, zero row fan-out — the crossJoin(centroids) +
+    * row_number() window form this replaces shuffled nCells x |corpus| rows
+    * (at a realistic nCells=1024 over a 100 TB corpus, ~1000x the corpus)
+    * to compute the same per-row argmax. Ties: lowest centroid id (`cents`
+    * is sorted by id here, and the kernel breaks ties to the lowest index),
+    * matching the (cos desc, cent_id asc) ordering of the window form.
     */
+  def nearestCentId(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    element_at(
+      typedLit(sorted.map(_._1)),
+      graft.functions.GraftFunctions.nearestCell(vec, typedLit(sorted.map(_._2))) + 1)
+  }
+
+  /** Collected (cent_id, centroid) seed set: the `nCells` lowest-id vectors
+    * (deterministic). nCells x dim doubles — driver-tiny by construction.
+    */
+  private def seedCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int): Seq[(Long, Seq[Double])] =
+    corpus
+      .select(col(idCol).cast("long").as("__cent_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__cent"))
+      .orderBy("__cent_id").limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  /** Spherical k-means refinement of IVF centroids, driver-local state only:
+    * start from the `nCells` lowest-id vectors (deterministic), then `iters`
+    * rounds of assign-to-nearest (the shuffle-free [[nearestCentId]]
+    * projection — the corpus NEVER shuffles to assign) + per-cell
+    * per-dimension mean (posexplode -> partial+final hash aggregate,
+    * O(rows * dim) map-side, <= nCells * dim result rows collected). A
+    * centroid that receives zero assignments in a round keeps its previous
+    * position instead of being dropped — the cell count a caller asked for
+    * is part of the index contract (a silently shrunk index lowers recall at
+    * a given nProbe).
+    */
+  def kmeansCentroidsLocal(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents = seedCentroids(corpus, idCol, vecCol, nCells)
+    for (_ <- 1 to iters) {
+      val meanRows = corpus
+        .select(nearestCentId(col(vecCol), cents).as("__cent_id"),
+          posexplode(transform(col(vecCol), x => x.cast("double")))
+            .as(Seq("__pos", "__x")))
+        .groupBy("__cent_id", "__pos").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val means = meanRows
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (id, prev) => (id, means.getOrElse(id, prev)) }
+    }
+    cents
+  }
+
+  /** DataFrame view of [[kmeansCentroidsLocal]] (compat surface). */
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nCells: Int,
       iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents = corpus
-      .select(col(idCol).cast("long").as("__cent_id"),
-        transform(col(vecCol), x => x.cast("double")).as("__cent"))
-      .orderBy("__cent_id").limit(nCells)
-    for (_ <- 1 to iters) {
-      val w = Window.partitionBy("__rid").orderBy(col("__cos").desc, col("__cent_id").asc)
-      val assigned = corpus
-        .select(col(idCol).as("__rid"), col(vecCol).as("__v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("__cos", cosine(col("__v"), col("__cent")))
-        .withColumn("__p", row_number().over(w))
-        .filter(col("__p") === 1)
-        .select(col("__cent_id"), col("__v"))
-      val means = assigned
-        .select(col("__cent_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy("__cent_id", "__pos").agg(avg(col("__x").cast("double")).as("__m"))
-        .groupBy("__cent_id")
-        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__ps"))
-        .select(col("__cent_id"), transform(col("__ps"), p => p.getField("__m")).as("__cent"))
-      val local = means.collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      cents = local.toDF("__cent_id", "__cent")
-    }
-    cents
+    kmeansCentroidsLocal(corpus, idCol, vecCol, nCells, iters)
+      .toDF("__cent_id", "__cent")
   }
 
   /** IVF (inverted-file) ANN: the corpus is assigned once to its nearest of
@@ -153,10 +190,11 @@ object Similarity {
     * job and queries join against a cell-partitioned (bucketed) corpus.
     *
     * Centroids are deterministic: the `nCells` lowest-id seed vectors,
-    * refined by `kmeansIters` spherical-k-means rounds ([[kmeansCentroids]];
-    * 0 = raw seeds). Both assignment joins broadcast the tiny centroid
-    * table — the corpus never shuffles except for the final per-query
-    * top-k window.
+    * refined by `kmeansIters` spherical-k-means rounds
+    * ([[kmeansCentroidsLocal]]; 0 = raw seeds). The corpus side assigns via
+    * the shuffle-free [[nearestCentId]] projection; the query side (small by
+    * contract) ranks its `nProbe` nearest cells via a broadcast crossJoin —
+    * the corpus never shuffles except for the final per-query top-k window.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -168,31 +206,27 @@ object Similarity {
       nProbe: Int = 4,
       kmeansIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cents =
-      if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters)
-      else corpus
-        .select(col(idCol).cast("long").as("__cent_id"),
-          transform(col(vecCol), x => x.cast("double")).as("__cent"))
-        .orderBy("__cent_id").limit(nCells)
-    def assign(df: DataFrame, id: String, v: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("__cos").desc, col("__cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("__cos", cosine(col(v), col("__cent")))
-        .withColumn("__p", row_number().over(w))
-        .filter(col("__p") <= probes)
-        .drop("__cos", "__p", "__cent")
-    }
-    val c = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", 1)
-    val q = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "query_id", "__qv", nProbe)
+      if (kmeansIters > 0) kmeansCentroidsLocal(corpus, idCol, vecCol, nCells, kmeansIters)
+      else seedCentroids(corpus, idCol, vecCol, nCells)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      nearestCentId(col(vecCol), cents).as("__cent_id"))
+    val centsDf = cents.toDF("__cent_id", "__cent")
+    val wq = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("__cent_id").asc)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(centsDf))
+      .withColumn("__cos", cosine(col("__qv"), col("__cent")))
+      .withColumn("__p", row_number().over(wq))
+      .filter(col("__p") <= nProbe)
+      .drop("__cos", "__p", "__cent")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     // each corpus vector lives in exactly one cell, so (query, neighbor)
-    // appears at most once — no dedup needed after the cell join
-    c.join(q, "__cent_id")
+    // appears at most once — no dedup needed after the cell join. The probed
+    // query side is broadcast: the corpus must not shuffle on <= nCells keys.
+    c.join(broadcast(q), "__cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
@@ -213,23 +247,17 @@ object Similarity {
       path: String,
       nCells: Int = 16,
       kmeansIters: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cents =
-      if (kmeansIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters)
-      else corpus
-        .select(col(idCol).cast("long").as("__cent_id"),
-          transform(col(vecCol), x => x.cast("double")).as("__cent"))
-        .orderBy("__cent_id").limit(nCells)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy(col("__cos").desc, col("__cent_id").asc)
+      if (kmeansIters > 0) kmeansCentroidsLocal(corpus, idCol, vecCol, nCells, kmeansIters)
+      else seedCentroids(corpus, idCol, vecCol, nCells)
+    // one shuffle-free projection assigns every corpus row to its cell
     corpus
-      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("vec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos", cosine(col("vec"), col("__cent")))
-      .withColumn("__p", row_number().over(w))
-      .filter(col("__p") === 1)
-      .select(col("id"), col("vec"), col("__cent_id").as("cell"))
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("vec"),
+        nearestCentId(col(vecCol), cents).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    cents.select(col("__cent_id").as("cell"), col("__cent").as("vec"))
+    cents.toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_centroids")
   }
 

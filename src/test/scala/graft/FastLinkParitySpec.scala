@@ -112,11 +112,21 @@ class FastLinkParitySpec extends SparkSpec {
     // tfAdjTable has the ones-shape for a no-TF config
     assert(out.tfAdjTable.columns.count(_.startsWith("tf_")) == 8)
 
-    // dedupe mode: self-link of dfA on a constant block, unordered pairs once
+    // dedupe mode: self-link of dfA on a constant block, unordered pairs
+    // once — and the id_a < id_b cut applies BEFORE pattern aggregation/EM,
+    // so the estimator never sees the 500 guaranteed-all-agree self-pairs
+    // (which would bias p_m upward) nor each unordered pair twice.
     val dfA = prep("dfA.csv", "ida").withColumn("block", lit(1))
     val dd = FastLink.dedupe(dfA, cfg.copy(idA = "ida"), blockCols = Seq("block"))
-    assert(dd.em.patterns.map(_.count).sum == 500L * 500) // full self cross
+    assert(dd.em.patterns.map(_.count).sum == 500L * 499 / 2)
     assert(dd.pairs.count() == 500L * 499 / 2) // each unordered pair once
+
+    // link_type dispatch: a dedupe_only config must NOT silently run A x B
+    val ddJson = json.replace("\"link_type\": \"link_only\"",
+      "\"link_type\": \"dedupe_only\"")
+    assert(MatchConfig.fromJson(ddJson).linkType == "dedupe_only")
+    val ddOut = FastLink.link(dfA, dfA, ddJson, blockCols = Seq("block"))
+    assert(ddOut.resultsEM.patterns.map(_.count).sum == 500L * 499 / 2)
   }
 
   test("distinct-value rewrite yields identical gammas") {

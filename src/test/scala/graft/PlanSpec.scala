@@ -87,7 +87,32 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
-  test("IVF cell assignment broadcasts the centroid table (corpus never shuffles to assign)") {
+  test("IVF cell assignment is a shuffle-free projection (no Exchange between scan and cell)") {
+    import graft.textops.Similarity
+    import spark.implicits._
+    val vecs = spark.range(100).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(4)),
+        i => (pmod(xxhash64(col("id"), i), lit(100)).cast("double") / 100.0))
+        .as("embedding"))
+    val cents = Similarity.kmeansCentroidsLocal(vecs, "vec_id", "embedding", 4, 1)
+    assert(cents.size == 4, "k-means must not drop empty cells")
+    val assigned = vecs.select(col("vec_id"),
+      Similarity.nearestCentId(col("embedding"), cents).as("cell"))
+    val plan = formatted(assigned)
+    // the whole assignment is one projection over the corpus: the old
+    // crossJoin(centroids)+window form shuffled nCells x |corpus| rows here
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // kernel parity: the projection's argmax equals the brute-force argmax
+    val brute = vecs.crossJoin(
+        cents.toDF("cid", "cent").select(col("cid"), col("cent").cast("array<double>")))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("cent")))
+      .groupBy("vec_id").agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cell"))
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = brute.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"argmax kernel disagrees with brute force")
+  }
+
+  test("IVF top-k: probed query side broadcast, corpus never shuffles on cell keys") {
     import graft.textops.Similarity
     val vecs = spark.range(100).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(4)),
@@ -96,11 +121,8 @@ class PlanSpec extends SparkSpec {
     val topk = Similarity.ivfTopK(vecs, vecs.limit(5), "vec_id", "embedding",
       k = 2, nCells = 4, nProbe = 2)
     val plan = formatted(topk)
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      plan)
-    // no sort-merge join anywhere in the assignment path
-    assert(!plan.contains("SortMergeJoin") || plan.indexOf("SortMergeJoin") >
-      plan.indexOf("Broadcast"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("fanout repartition survives AQE partition coalescing (no 1-task fan-out)") {

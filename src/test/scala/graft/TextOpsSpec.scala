@@ -56,6 +56,20 @@ class TextOpsSpec extends SparkSpec {
     assert(lowJ == 0, s"$lowJ simhash pairs with jaccard < 0.3")
   }
 
+  test("dot/cosine reject unequal-length vectors (corrupt embeddings must surface)") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++ Option(t.getCause).toSeq.flatMap(rootMessages)
+    assert(rootMessages(e).exists(_.contains("length mismatch")), e.toString)
+    // equal lengths still score
+    val ok = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
+  }
+
   test("brute-force cosine top-k matches hand computation") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)),
@@ -192,13 +206,21 @@ class TextOpsSpec extends SparkSpec {
     val brute = asSet(Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3))
     val full = asSet(Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir, 3, nProbe = 8))
     assert(full == brute, "exhaustive probe over the persisted index must equal brute force")
-    // partial probe: the scan must carry a partition filter on `cell`
+    // partial probe: the scan must carry a `cell IN (...)` partition filter
+    // with STRICTLY fewer cells than the index has (one query probing 2 of 8
+    // cells — pruning must be real, not an IN-list of every partition)
+    val oneQ = vecs.filter($"vec_id" === 0)
+    val pruned = Similarity.queryIvfIndex(oneQ, "vec_id", "embedding", dir, 3, nProbe = 2)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+      .find(s => s.contains(dir.split('/').last) && !s.contains("_graft_centroids"))
+      .getOrElse(pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString)
+    val inList = "cell#\\d+ IN \\(([-0-9,]+)\\)".r.findFirstMatchIn(scan)
+    assert(scan.contains("PartitionFilters:") && inList.isDefined,
+      s"no cell IN partition filter in scan:\n$scan")
+    assert(inList.get.group(1).split(',').length == 2,
+      s"expected exactly the 2 probed cells in the partition filter, got: ${inList.get}")
     val partial = Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir, 3, nProbe = 2)
-    val scan = partial.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).find(_.contains(dir.split('/').last))
-      .getOrElse(partial.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString)
-    assert(scan.contains("PartitionFilters") && scan.contains("cell IN") ||
-      scan.contains("cell#"), s"no partition pruning in scan:\n$scan")
     val recall = (asSet(partial) & brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@3 with 2/8 cells probed = $recall")
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()

@@ -11,11 +11,59 @@ import java.nio.file.{Files, Paths}
   * it runs (a failure must not leave a previous run's parquet to be compared
   * as if fresh), and the final stdout line is a bare JSON summary.
   *
+  * It ALSO writes a machine-checkable correctness record — CORRECTNESS.json,
+  * both in outDir and in the working directory — with one row per query:
+  * {"rows": N, "schema": ["col:type", ...], "hash": "md5-of-canonical-rows",
+  *  "err": null|"...", "sec": t}. The hash is over rows canonicalized as
+  * columns-sorted-by-name / values joined by \\u0001 / row strings sorted —
+  * order-independent, so any two engines producing the same multiset of rows
+  * agree. `tools/check_oracles.py` then cross-writes per-query DuckDB oracle
+  * verdicts ({"rows_match","schema_match","hash_match"}) into the same file.
+  * Rationale: two driver rounds returned CORRECTNESS = {} while this exact
+  * gate passed locally — the record must exist in-repo regardless of any
+  * harness handshake.
+  *
   *   usage: graft.Verify [sfDir] [outDir]
   *     sfDir  default: $SPARK_GRAFT_SF_DIR, else /root/testdata/sf0.01
   *     outDir default: $SPARK_GRAFT_VERIFY_OUT, else ./verify_out
   */
 object Verify {
+
+  /** Canonical string form of one value for the content hash: NULL marker,
+    * 9-sig-digit scientific floats (stable across engines' default float
+    * printing), epoch-millis timestamps, Base64 binary, toString otherwise.
+    */
+  def canonValue(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.lang.Double =>
+      if (d.isNaN) "NaN" else String.format(java.util.Locale.ROOT, "%.9e", d)
+    case f: java.lang.Float =>
+      if (f.isNaN) "NaN"
+      else String.format(java.util.Locale.ROOT, "%.9e", Double.box(f.toDouble))
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case t: java.sql.Timestamp => t.getTime.toString
+    case s: collection.Seq[_] => s.map(canonValue).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  /** (rows, schema, md5) of a written parquet result: columns sorted by
+    * name, canonical row strings sorted (order-independent content hash).
+    */
+  def fingerprint(spark: SparkSession, path: String): (Long, Seq[String], String) = {
+    val df = spark.read.parquet(path)
+    val cols = df.columns.sorted.toSeq
+    val schema = df.schema.fields.sortBy(_.name)
+      .map(f => s"${f.name}:${f.dataType.simpleString}").toSeq
+    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => (0 until r.length).map(i => canonValue(r.get(i))).mkString("\u0001"))
+      .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+    val hash = md.digest().map("%02x".format(_)).mkString
+    (rows.length.toLong, schema, hash)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0)
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
@@ -52,6 +100,17 @@ object Verify {
 
     var ok = 0
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // per-query correctness record, written progressively (a crash mid-run
+    // still leaves the completed queries' rows on disk)
+    val record = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val hasOracle = SparkEntry.oracleSql.keySet
+    def writeCorrectness(): Unit = {
+      val body = record.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+      Seq(s"$outDir/CORRECTNESS.json", "CORRECTNESS.json").foreach { p =>
+        try Files.writeString(Paths.get(p), body + "\n")
+        catch { case e: Throwable => System.err.println(s"[verify] write $p: $e") }
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // The contract is a parquet at exactly outDir/<name>.parquet. Spark
       // writes a directory, so stage to a temp dir and move the single part
@@ -67,19 +126,31 @@ object Verify {
           .getOrElse(sys.error(s"no part file under $tmp"))
         Files.move(part.toPath, dest,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (rows, schema, hash) = fingerprint(spark, dest.toString)
+        record(name) =
+          s"""{"rows":$rows,"schema":[${schema.map(q).mkString(",")}],""" +
+            s""""hash":${q(hash)},"has_oracle":${hasOracle(name)},""" +
+            f""""sec":$sec%.2f,"err":null}"""
         ok += 1
-        System.err.println(f"[verify] $name%-20s ok ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        System.err.println(f"[verify] $name%-20s ok $sec%.1f s ($rows rows, $hash)")
       } catch { case e: Throwable =>
         failed += name
+        record(name) = s"""{"rows":null,"schema":null,"hash":null,""" +
+          s""""has_oracle":${hasOracle(name)},"err":${q(String.valueOf(e.getMessage))}}"""
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       } finally {
         new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+        writeCorrectness()
       }
     }
     spark.stop()
-    // bare last-line JSON summary on stdout (same q() escaping as above)
+    // bare last-line JSON summary on stdout (same q() escaping as above),
+    // carrying the full per-query correctness record so the harness can
+    // recover it from stdout alone
+    val corr = record.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
     println(s"""{"queries_ok":$ok,"queries_failed":[${failed.map(q).mkString(",")}],""" +
-      s""""out_dir":${q(outDir)},"sf_dir":${q(sfDir)}}""")
+      s""""out_dir":${q(outDir)},"sf_dir":${q(sfDir)},"correctness":$corr}""")
     if (failed.nonEmpty) System.err.println(s"[verify] ${failed.size} queries failed")
   }
 }

@@ -1,12 +1,36 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run Verify's
 oracle_sql.json in DuckDB over the same parquet tables and compare against
-the Spark-side dumps (columns sorted by name, full-value comparison)."""
-import sys, json, glob, math
+the Spark-side dumps (columns sorted by name, full-value comparison).
+
+Also cross-writes the per-query verdict into the CORRECTNESS.json that
+graft.Verify produced (outDir copy AND repo-root copy): each query row gains
+{"rows_match", "schema_match", "hash_match"} (hash_match = full normalized
+row-multiset equality between the Spark dump and the DuckDB oracle, both
+read through DuckDB so value canonicalization is identical on both sides).
+Queries without an oracle keep null verdicts (rows-only check: rows > 0).
+"""
+import sys, json, glob, math, os
 import duckdb
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+def load_correctness():
+    p = f"{out_dir}/CORRECTNESS.json"
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+correctness = load_correctness()
+
+def verdict(name, rows_match=None, schema_match=None, hash_match=None):
+    row = correctness.setdefault(name, {})
+    row["rows_match"] = rows_match
+    row["schema_match"] = schema_match
+    row["hash_match"] = hash_match
 
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
@@ -20,6 +44,7 @@ for name, sql in sorted(oracles.items()):
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}")
+        verdict(name, False, False, False)
         fails += 1
         continue
     try:
@@ -27,11 +52,13 @@ for name, sql in sorted(oracles.items()):
             f"SELECT * FROM read_parquet('{out_dir}/{name}.parquet')").fetchdf()
     except Exception as e:
         print(f"FAIL {name}: spark output missing {e}")
+        verdict(name, False, False, False)
         fails += 1
         continue
     ocols, scols = sorted(odf.columns), sorted(sdf.columns)
     if ocols != scols:
         print(f"FAIL {name}: schema {scols} != oracle {ocols}")
+        verdict(name, len(odf) == len(sdf), False, False)
         fails += 1
         continue
     o = odf[ocols].values.tolist()
@@ -53,9 +80,34 @@ for name, sql in sorted(oracles.items()):
         extra_o = len(no) - len(ns)
         print(f"FAIL {name}: rows oracle={len(no)} spark={len(ns)} "
               f"first diffs={diff} (len diff {extra_o})")
+        verdict(name, len(no) == len(ns), True, False)
         fails += 1
     else:
         print(f"OK   {name}: {len(ns)} rows")
+        verdict(name, True, True, True)
+
+# rows-only check for queries without an oracle: result executed and rows > 0
+for name, row in sorted(correctness.items()):
+    if name in oracles:
+        continue
+    rows = row.get("rows")
+    row["rows_match"] = None
+    row["schema_match"] = None
+    row["hash_match"] = None
+    row["rows_nonzero"] = bool(rows) and rows > 0
+    if not row["rows_nonzero"]:
+        print(f"WARN {name}: no oracle and rows={rows}")
+
+for path in (f"{out_dir}/CORRECTNESS.json", "CORRECTNESS.json"):
+    try:
+        with open(path, "w") as f:
+            json.dump(correctness, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as e:
+        print(f"WARN: cannot write {path}: {e}")
+
+n_green = sum(1 for r in correctness.values() if r.get("hash_match"))
 print(f"\n{len(oracles) - fails}/{len(oracles)} oracle queries match; "
-      f"{len(glob.glob(out_dir + '/q*.parquet'))} queries total")
+      f"{len(glob.glob(out_dir + '/q*.parquet'))} queries total; "
+      f"{n_green} all-green rows in CORRECTNESS.json")
 sys.exit(1 if fails else 0)

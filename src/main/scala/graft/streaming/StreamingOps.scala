@@ -65,6 +65,20 @@ object StreamingOps {
     * longs), partitioned by bucket key across the state store; per-arrival
     * cost is |bucket| signature comparisons, bounded by the cap.
     */
+  /** Overflow observability + bounded state:
+    *  - `bucketOverflowAcc(spark)` (a named accumulator, visible per-query
+    *    in the Spark UI / StreamingQueryProgress) counts arrivals that were
+    *    COMPARED but not retained because their bucket hit `maxPerBucket`:
+    *    later near-duplicates of an overflowed doc are missed, and this
+    *    counter is how that coverage loss becomes observable instead of
+    *    silent.
+    *  - `stateTtl = Some(d)` switches the state to a processing-time TTL:
+    *    a bucket idle for `d` is evicted (state stays bounded over the
+    *    stream's lifetime — without it, NoTimeout state grows with every
+    *    distinct bucket ever seen). Eviction trades recall for memory:
+    *    a duplicate arriving after its twin's bucket expired is missed,
+    *    the standard streaming-dedup horizon trade.
+    */
   def nearDupStream(
       docs: DataFrame,
       idCol: String,
@@ -73,10 +87,12 @@ object StreamingOps {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      maxPerBucket: Int = 1000): Dataset[NearDupHit] = {
+      maxPerBucket: Int = 1000,
+      stateTtl: Option[java.time.Duration] = None): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.operators.Blocking
+    val overflow = bucketOverflowAcc(spark)
     val rows = numHashes / bands
     val sig = Blocking.minhashSignature(
       Dedup.distinctShingles(col(textCol), shingleSize), numHashes)
@@ -85,27 +101,64 @@ object StreamingOps {
       .select(col("id"), col("sig"),
         posexplode(Blocking.bandKeys(col("sig"), bands, rows)).as(Seq("band", "bucket")))
       .select(col("bucket"), col("id"), col("sig")).as[BandedDoc]
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
     banded
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Long, arrivals: Iterator[BandedDoc], state: GroupState[List[(Long, Seq[Long])]]) => {
-          var seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-          arrivals.toSeq.sortBy(_.id).foreach { d =>
-            if (!seen.exists(_._1 == d.id)) {
-              seen.foreach { case (pid, psig) =>
-                val matches = psig.zip(d.sig).count { case (a, b) => a == b }
-                val est = matches.toDouble / psig.size
-                if (est >= threshold)
-                  out += NearDupHit(math.min(pid, d.id), math.max(pid, d.id), est)
-              }
-              if (seen.size < maxPerBucket) seen = (d.id, d.sig) :: seen
-            }
-          }
-          state.update(seen)
-          out.iterator
-        })
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        nearDupStateFn(threshold, maxPerBucket, overflow, stateTtl.map(_.toMillis)))
   }
+
+  /** The near-dup bucket state-transition function, factored out so it is
+    * unit-testable against `TestGroupState` (the TTL branch in particular —
+    * driving ProcessingTimeTimeout through a memory-sink query turns the
+    * trigger into a continuous empty-batch loop, which is the production
+    * behavior but not a test vehicle).
+    */
+  private[graft] def nearDupStateFn(
+      threshold: Double,
+      maxPerBucket: Int,
+      overflow: org.apache.spark.util.LongAccumulator,
+      ttlMs: Option[Long])
+      : (Long, Iterator[BandedDoc], GroupState[List[(Long, Seq[Long])]]) => Iterator[NearDupHit] =
+    (_: Long, arrivals: Iterator[BandedDoc], state: GroupState[List[(Long, Seq[Long])]]) => {
+      if (state.hasTimedOut) {
+        state.remove() // idle bucket evicted at its TTL
+        Iterator.empty
+      } else {
+        var seen = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+        arrivals.toSeq.sortBy(_.id).foreach { d =>
+          if (!seen.exists(_._1 == d.id)) {
+            seen.foreach { case (pid, psig) =>
+              val matches = psig.zip(d.sig).count { case (a, b) => a == b }
+              val est = matches.toDouble / psig.size
+              if (est >= threshold)
+                out += NearDupHit(math.min(pid, d.id), math.max(pid, d.id), est)
+            }
+            if (seen.size < maxPerBucket) seen = (d.id, d.sig) :: seen
+            else overflow.add(1L) // compared but NOT retained — observable
+          }
+        }
+        state.update(seen)
+        ttlMs.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+
+  /** The shared per-session bucket-overflow accumulator for
+    * [[nearDupStream]] (created on first use, then reused — accumulator
+    * values survive across micro-batches for the lifetime of the session).
+    */
+  def bucketOverflowAcc(spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator =
+    overflowAccs.synchronized {
+      overflowAccs.getOrElseUpdate(spark, {
+        val acc = spark.sparkContext.longAccumulator("graft.nearDupStream.bucketOverflow")
+        acc
+      })
+    }
+  private val overflowAccs =
+    scala.collection.mutable.WeakHashMap.empty[org.apache.spark.sql.SparkSession, org.apache.spark.util.LongAccumulator]
 
   /** Incremental linkage: link a STREAM of incoming records against a
     * static reference table, scoring with EM parameters estimated offline by

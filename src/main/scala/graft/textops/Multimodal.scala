@@ -8,13 +8,119 @@ import org.apache.spark.sql.types._
   * with typed metadata, batched feature extraction over partitions.
   *
   * Images decode for real via pure-JDK `javax.imageio` (PNG/JPEG/BMP/GIF —
-  * [[decodeImage]]). Audio/video decode remains a clearly-marked
-  * deterministic STUB (no codec libraries ship in this environment); the
-  * Spark-side contract — schema, partition batching, feature array shape,
-  * null handling — is identical for both, so a real A/V decoder drops in by
-  * replacing [[decodeStub]] only.
+  * [[decodeImage]]); audio decodes for real via pure-JDK
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM — [[decodeAudio]]). Video decode
+  * remains a clearly-marked deterministic STUB (no video codec libraries
+  * ship in this environment); the Spark-side contract — schema, partition
+  * batching, feature array shape, null handling — is identical for all
+  * three, so a real video decoder drops in by replacing [[decodeStub]] only.
   */
 object Multimodal {
+
+  /** Real audio decode (WAV/AIFF/AU via `javax.sound.sampled`):
+    * [0]=sample rate Hz, [1]=duration ms, [2]=channels, [3]=overall RMS in
+    * [0,1], [4]=peak amplitude in [0,1], [5..dim-1]=per-segment RMS over
+    * `dim - 5` equal time segments (a coarse energy envelope). Samples are
+    * read on a bounded budget (~64k frames on a stride) so cost is capped
+    * regardless of clip length. Returns null for null or undecodable
+    * payloads (corrupt audio semantics). Non-PCM encodings are converted to
+    * PCM_SIGNED first when the JDK can.
+    */
+  def decodeAudio(payload: Array[Byte], dim: Int): Array[Float] = {
+    if (payload == null || dim < 6) return null
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais0 =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => return null }
+    try {
+      val src = ais0.getFormat
+      val ais =
+        if (src.getEncoding == AudioFormat.Encoding.PCM_SIGNED && src.getSampleSizeInBits == 16) ais0
+        else try {
+          val tgt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate,
+            16, src.getChannels, 2 * src.getChannels, src.getSampleRate, false)
+          AudioSystem.getAudioInputStream(tgt, ais0)
+        } catch { case _: Throwable => return null }
+      val fmt = ais.getFormat
+      val channels = fmt.getChannels
+      val frameBytes = fmt.getFrameSize
+      val totalFrames = ais.getFrameLength
+      if (totalFrames <= 0 || frameBytes <= 0) return null
+      val durationMs = totalFrames * 1000.0 / fmt.getSampleRate
+      val out = new Array[Float](dim)
+      out(0) = fmt.getSampleRate
+      out(1) = durationMs.toFloat
+      out(2) = channels.toFloat
+      val nSeg = dim - 5
+      val stride = math.max(1L, totalFrames / 65536L)
+      val segSum = new Array[Double](nSeg)
+      val segN = new Array[Long](nSeg)
+      var sumSq = 0.0; var peak = 0.0; var n = 0L; var frame = 0L
+      val buf = new Array[Byte](frameBytes)
+      val big = fmt.isBigEndian
+      var eof = false
+      while (!eof && frame < totalFrames) {
+        var read = 0
+        while (read < frameBytes && !eof) {
+          val r = ais.read(buf, read, frameBytes - read)
+          if (r < 0) eof = true else read += r
+        }
+        if (!eof) {
+          if (frame % stride == 0) {
+            // mean over channels of this frame's 16-bit samples
+            var c = 0; var s = 0.0
+            while (c < channels) {
+              val lo = buf(c * 2 + (if (big) 1 else 0)) & 0xff
+              val hi = buf(c * 2 + (if (big) 0 else 1))
+              s += ((hi << 8) | lo).toShort / 32768.0
+              c += 1
+            }
+            s /= channels
+            val a = math.abs(s)
+            sumSq += s * s; if (a > peak) peak = a; n += 1
+            val seg = math.min(nSeg - 1, (frame * nSeg / totalFrames).toInt)
+            segSum(seg) += s * s; segN(seg) += 1
+          }
+          frame += 1
+        }
+      }
+      if (n == 0) return null
+      out(3) = math.sqrt(sumSq / n).toFloat
+      out(4) = peak.toFloat
+      var i = 0
+      while (i < nSeg) {
+        out(5 + i) = if (segN(i) == 0) 0f else math.sqrt(segSum(i) / segN(i)).toFloat
+        i += 1
+      }
+      out
+    } catch { case _: Throwable => null }
+    finally ais0.close()
+  }
+
+  /** Deterministic mono 16-bit PCM WAV bytes from a seed — real, decodable
+    * audio payloads for tests and the synthetic media table: a seed-pitched
+    * sine with a linear fade-out, 8 kHz, 400 + (seed mod 800) frames.
+    */
+  def syntheticWav(seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = 8000f
+    val nFrames = 400 + math.floorMod(seed, 800L).toInt
+    val freq = 200.0 + math.floorMod(seed * 7919L, 1800L)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val fade = 1.0 - i.toDouble / nFrames
+      val v = (math.sin(2 * math.Pi * freq * i / rate) * fade * 20000).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** Real image decode: width, height, per-channel RGB means in [0,1], and
     * a luminance histogram over the remaining `dim - 5` slots. Pixels are
@@ -88,10 +194,11 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** STUB decoder: deterministic pseudo-features from the payload bytes.
-    * A real implementation decodes the image/audio and extracts features;
-    * the contract (fixed-length float array per row, null payload -> null
-    * features) is what the pipeline depends on.
+  /** STUB decoder (VIDEO only — images and audio decode for real above):
+    * deterministic pseudo-features from the payload bytes. A real
+    * implementation decodes the video and extracts features; the contract
+    * (fixed-length float array per row, null payload -> null features) is
+    * what the pipeline depends on.
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null) return null
@@ -110,8 +217,9 @@ object Multimodal {
 
   /** Deterministic synthetic media table derived from the documents table —
     * the test/bench input. Image rows carry REAL 8x8 PNG payloads
-    * ([[syntheticPng]], decodable by [[decodeImage]]); audio/video rows
-    * carry opaque text bytes (their decode is the stub).
+    * ([[syntheticPng]], decodable by [[decodeImage]]); audio rows carry REAL
+    * mono PCM WAV payloads ([[syntheticWav]], decodable by [[decodeAudio]]);
+    * video rows carry opaque text bytes (their decode is the stub).
     */
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(
@@ -126,19 +234,22 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(base.schema)
     base.mapPartitions { rows =>
       rows.map { r =>
-        if (r.getString(1) == "image")
-          Row.fromSeq(r.toSeq.updated(2, syntheticPng(r.getLong(0))))
-        else r
+        r.getString(1) match {
+          case "image" => Row.fromSeq(r.toSeq.updated(2, syntheticPng(r.getLong(0))))
+          case "audio" => Row.fromSeq(r.toSeq.updated(2, syntheticWav(r.getLong(0))))
+          case _       => r
+        }
       }
     }(enc)
   }
 
   /** Batched feature extraction: mapPartitions over (media_id, kind,
-    * payload), emitting (media_id, features array<float>). Image rows
-    * decode for real ([[decodeImage]]); audio/video rows go through the
-    * marked stub. Batching shape mirrors a vectorized-UDF pipeline: rows
-    * are processed in fixed-size batches so a real decoder can amortize
-    * model/codec setup per batch; partitioning is preserved (no shuffle).
+    * payload), emitting (media_id, features array<float>). Image and audio
+    * rows decode for real ([[decodeImage]], [[decodeAudio]]); video rows go
+    * through the marked stub. Batching shape mirrors a vectorized-UDF
+    * pipeline: rows are processed in fixed-size batches so a real decoder
+    * can amortize model/codec setup per batch; partitioning is preserved
+    * (no shuffle).
     */
   def extractFeatures(media: DataFrame, dim: Int = 16, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
@@ -155,7 +266,8 @@ object Multimodal {
             val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
             val feats = r.getString(1) match {
               case "image" => decodeImage(payload, dim)
-              case _       => decodeStub(payload, dim) // STUB: no A/V codec here
+              case "audio" => decodeAudio(payload, dim)
+              case _       => decodeStub(payload, dim) // STUB: no video codec here
             }
             Row(id, feats)
           }

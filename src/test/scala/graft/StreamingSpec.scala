@@ -59,6 +59,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: bucket overflow is counted, not silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val acc = StreamingOps.bucketOverflowAcc(spark)
+    val before = acc.value
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // maxPerBucket = 1: the second identical doc is compared (hit emitted)
+    // but NOT retained -> overflow counted once per shared bucket
+    val q = StreamingOps.nearDupStream(docs, "doc_id", "text",
+        threshold = 0.4, shingleSize = 3, numHashes = 16, bands = 4,
+        maxPerBucket = 1)
+      .writeStream.format("memory").queryName("neardup_overflow")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base))
+      q.processAllAvailable()
+      assert(acc.value == before) // first doc fills each bucket, no overflow
+      input.addData((2L, base))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_overflow").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((1L, 2L)), s"got $hits") // still compared before overflow
+      // doc 2 overflowed in each of its 4 band buckets
+      assert(acc.value - before == 4, s"overflow = ${acc.value - before}")
+      // doc 3 (same text) only sees doc 1 in state — doc 2 was never added
+      input.addData((3L, base))
+      q.processAllAvailable()
+      val hits2 = spark.table("neardup_overflow").select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits2 == Set((1L, 2L), (1L, 3L)), s"got $hits2")
+      assert(acc.value - before == 8, s"overflow = ${acc.value - before}")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup TTL: state function registers the timeout and evicts on it") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.{Optional => JOptional}
+    val acc = spark.sparkContext.longAccumulator("test.overflow")
+    val fn = StreamingOps.nearDupStateFn(0.5, 10, acc, ttlMs = Some(60000L))
+    // arrival: state updated AND a 60 s processing-time timeout registered
+    val st = TestGroupState.create[List[(Long, Seq[Long])]](
+      optionalState = JOptional.empty[List[(Long, Seq[Long])]](), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = JOptional.empty[Long](),
+      hasTimedOut = false)
+    val hits = fn(7L, Iterator(StreamingOps.BandedDoc(7L, 1L, Seq(1L, 2L))), st).toList
+    assert(hits.isEmpty && st.exists)
+    assert(st.getTimeoutTimestampMs.isPresent &&
+      st.getTimeoutTimestampMs.get == 1000L + 60000L)
+    // timeout firing: the bucket's state is removed (bounded state lifetime)
+    val timedOut = TestGroupState.create[List[(Long, Seq[Long])]](
+      optionalState = JOptional.of(List((1L, Seq(1L, 2L)))),
+      timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 120000L, eventTimeWatermarkMs = JOptional.empty[Long](),
+      hasTimedOut = true)
+    assert(fn(7L, Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved)
+    // post-eviction arrival of a twin is a MISS — the documented recall trade
+    val fresh = TestGroupState.create[List[(Long, Seq[Long])]](
+      optionalState = JOptional.empty[List[(Long, Seq[Long])]](), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 121000L, eventTimeWatermarkMs = JOptional.empty[Long](),
+      hasTimedOut = false)
+    assert(fn(7L, Iterator(StreamingOps.BandedDoc(7L, 2L, Seq(1L, 2L))), fresh).isEmpty)
+  }
+
   test("streaming incremental linkage: stream-static block join + batch EM weights") {
     import graft.config._
     import graft.operators.EmLink

@@ -349,4 +349,30 @@ class TextOpsSpec extends SparkSpec {
       .agg(sum(ceil($"duration_ms".cast("double") / 60000.0).cast("long"))).head().getLong(0)
     assert(frames.count() == expected)
   }
+
+  test("multimodal audio: planted WAV decodes deterministically via javax.sound") {
+    // direct kernel: a synthetic 8 kHz sine WAV yields its true sample rate,
+    // frame-exact duration, mono channel, and a plausible RMS/peak
+    val wav = Multimodal.syntheticWav(7L)
+    val f = Multimodal.decodeAudio(wav, 16)
+    assert(f != null && f.length == 16)
+    assert(f(0) == 8000f, s"sample rate ${f(0)}")
+    val nFrames = 400 + (7 % 800)
+    assert(math.abs(f(1) - nFrames * 1000.0 / 8000.0) < 0.5, s"duration ms ${f(1)}")
+    assert(f(2) == 1f)
+    assert(f(3) > 0.1f && f(3) < 1.0f, s"rms ${f(3)}") // fading sine: rms well inside (0,1)
+    assert(f(4) > f(3) && f(4) <= 1.0f, s"peak ${f(4)}")
+    // fade-out: early-segment energy exceeds late-segment energy
+    assert(f(5) > f(15), s"envelope not decaying: ${f.mkString(",")}")
+    // determinism + corrupt-payload null
+    assert(Multimodal.decodeAudio(Multimodal.syntheticWav(7L), 16).toSeq == f.toSeq)
+    assert(Multimodal.decodeAudio("not audio".getBytes, 16) == null)
+    // through the pipeline: audio rows get real decoded features (feature[0]
+    // = 8000 Hz is the fingerprint of the real decoder, not the stub)
+    val media = Multimodal.syntheticMedia(docs.limit(60), "doc_id", "text")
+    val audioFeats = Multimodal.extractFeatures(media.filter($"kind" === "audio"), dim = 16)
+      .collect()
+    assert(audioFeats.nonEmpty)
+    assert(audioFeats.forall(_.getAs[Seq[Float]]("features").head == 8000f))
+  }
 }

@@ -125,6 +125,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("link scans each input side exactly once; side counts ride the join as observed metrics") {
+    import spark.implicits._
+    val accA = spark.sparkContext.longAccumulator("scanA")
+    val accB = spark.sparkContext.longAccumulator("scanB")
+    def mk(n: Int, id: String, acc: org.apache.spark.util.LongAccumulator) =
+      spark.range(n).map { x => acc.add(1); x }.toDF("v")
+        .select(col("v").as(id), concat(lit("n"), col("v") % 30).as("name"),
+          (col("v") % 4).cast("string").as("block"))
+    val cfg = MatchConfig("ida", "idb", comparisons =
+      ComparisonGroup("g", Seq(VariableSpec("name", "jarowinkler"))))
+    val res = Linker.link(mk(120, "ida", accA), mk(100, "idb", accB), cfg,
+      blockCols = Seq("block"))
+    // dims came through the observation, not eager counts
+    assert(res.em.numberOfComparisons == 120L * 100L)
+    // and each side's rows were produced exactly once for the whole link
+    // (the old form ran eager dfA.count()/dfB.count() = 2 extra input scans)
+    assert(accA.value == 120, s"A side scanned ${accA.value / 120.0}x")
+    assert(accB.value == 100, s"B side scanned ${accB.value / 100.0}x")
+  }
+
   test("fanout repartition survives AQE partition coalescing (no 1-task fan-out)") {
     import spark.implicits._
     val rows = (1 to 200).map(i => (i.toLong, s"b${i % 4}", s"n$i"))

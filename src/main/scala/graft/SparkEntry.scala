@@ -115,6 +115,8 @@ object SparkEntry {
   // Single-slot memo: holding more would pin stopped sessions (and their
   // cached DataFrames) forever in a long-lived JVM that cycles sessions.
   private var emMemo: ((SparkSession, String), (Linker.LinkResult, DataFrame)) = null
+  /** Bench hook: a timing rep must measure the pipeline, not a memo hit. */
+  private[graft] def clearEmMemo(): Unit = synchronized { emMemo = null }
   private def customerEm(s: SparkSession, dir: String): (Linker.LinkResult, DataFrame) =
     synchronized {
       if (emMemo == null || emMemo._1 != ((s, dir)))

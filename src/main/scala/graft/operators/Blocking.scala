@@ -146,9 +146,16 @@ object Blocking {
     * self-join output is quadratic in one shuffle group).
     */
   def multiKeyCandidatePairs(keys: DataFrame, maxKeySize: Long = 10000): DataFrame = {
-    val hot = keys.groupBy("__key").agg(count(lit(1)).as("__ksz"))
-      .filter(col("__ksz") > maxKeySize)
-    val pruned = keys.join(broadcast(hot), Seq("__key"), "left_anti")
+    // window-count cap, not aggregate + anti-join: the latter re-evaluates
+    // the whole key-derivation pipeline (e.g. webPageBlockKeys' MinHash
+    // banding) once for the hot list and once per self-join side; the
+    // window is one shuffle of the row-scale key table whose partitioning
+    // the self-join reuses (same shape as Dedup.minhashDupPairs)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy("__key")
+    val pruned = keys
+      .withColumn("__ksz", count(lit(1)).over(wKey))
+      .filter(col("__ksz") <= maxKeySize)
+      .drop("__ksz")
     pruned.select(col("__key"), col("__id").as("id_a"))
       .join(pruned.select(col("__key"), col("__id").as("id_b")), Seq("__key"))
       .filter(col("id_a") < col("id_b"))

@@ -466,6 +466,23 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf_index" -> ((s, dir) => {
+      // the PERSISTED cell-partitioned IVF index end-to-end in the driver
+      // gate: write (shuffle-free argmax assignment + partitionBy(cell) +
+      // centroid sidecar) then query with an exhaustive probe — identical to
+      // brute force, so it shares q_ann_topk's oracle; the partial-probe
+      // partition-pruning path is PlanSpec/TextOpsSpec-asserted
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val idx = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q_ann_ivf_index").getAbsolutePath
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", idx, nCells = 8, kmeansIters = 1)
+      Similarity.queryIvfIndex(e.filter(col("vec_id") < 30), "vec_id", "embedding",
+        idx, k = 3, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
     "q_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 200)
       d.select(
@@ -673,6 +690,17 @@ object SparkEntry {
         |                             cast(b.embedding AS double[])) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
     "q_ann_ivf" ->
+      """SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(cast(q.embedding AS double[]),
+        |                         cast(c.embedding AS double[])) AS cosine,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(cast(q.embedding AS double[]),
+        |             cast(c.embedding AS double[])) DESC, c.vec_id ASC) AS rank
+        | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        | WHERE q.vec_id < 30)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_index" ->
       """SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |  list_cosine_similarity(cast(q.embedding AS double[]),

@@ -65,10 +65,21 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.lift(0)
+    // Tolerant arg parsing (handshake insurance): positional [sfDir] [outDir],
+    // or --sf-dir=/--sfdir=/--out-dir=/--outdir=/--out= flags in any order,
+    // with env fallbacks and defaults. An unrecognized flag is ignored, not
+    // fatal — a wrong invocation must still produce a correctness record.
+    def flagVal(names: Seq[String]): Option[String] = args.collectFirst {
+      case a if names.exists(n => a.toLowerCase.startsWith(n + "=")) =>
+        a.substring(a.indexOf('=') + 1)
+    }
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = flagVal(Seq("--sf-dir", "--sfdir", "--sf"))
+      .orElse(positional.lift(0))
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.01")
-    val outDir = args.lift(1)
+    val outDir = flagVal(Seq("--out-dir", "--outdir", "--out"))
+      .orElse(positional.lift(1))
       .orElse(sys.env.get("SPARK_GRAFT_VERIFY_OUT"))
       .getOrElse("verify_out")
     System.err.println(s"[verify] sfDir=$sfDir outDir=$outDir")

@@ -233,6 +233,10 @@ object Bench {
     // round-1 driver artifact showed a single noisy rep can sink the
     // reported efficiency (0.697 vs 0.80-0.99 in same-day repeats).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // secondary levels get one rep fewer than the 4N anchor but never more
+    // than `reps` itself — SPARK_GRAFT_BENCH_REPS=1 must mean 1 (quick
+    // smoke), not a silent floor of 2
+    val repsOther = math.max(math.min(reps, math.max(reps - 1, 2)), 1)
     def bestOf(label: String, n: Int, job: SparkSession => Any = linkAndCluster(_, benchBase, nHosts)): (Any, Double) =
       (1 to n).map { i =>
         // The corpus is deterministic, so a repeat run's logical plan is
@@ -271,7 +275,7 @@ object Bench {
     // peak throughput at the widest sensible thread count
     spark = session(cpusPeak)
     linkAndCluster(spark, benchBase / 2, nHosts) // half-size warmup
-    val (peakStatsAny, secPeak) = bestOf(s"peak=$cpusPeak cores", math.max(reps - 1, 2))
+    val (peakStatsAny, secPeak) = bestOf(s"peak=$cpusPeak cores", repsOther)
     val peakStats = peakStatsAny.asInstanceOf[RunStats]
     spark.stop()
     lk("cpus_peak") = cpusPeak.toString
@@ -296,7 +300,7 @@ object Bench {
     // heavy phase (pairs+gammas only) at the same level, half size
     scorePhase(spark, benchBase / 4, nHosts) // warmup
     spark.catalog.clearCache()
-    val (_, secScore4N) = bestOf(s"score 4N=$cpus4N", math.max(reps - 1, 2),
+    val (_, secScore4N) = bestOf(s"score 4N=$cpus4N", repsOther,
       scorePhase(_, benchBase / 2, nHosts))
     lk("sec_score_4n") = f"$secScore4N%.3f"
     // reference-style per-variable timings (once, at the 4N level)
@@ -313,7 +317,7 @@ object Bench {
     // quarter-size warmup at the slow level: JIT-equalizing matters, but a
     // half-size run at 2 cores costs ~3 min of wall for no extra signal
     linkAndCluster(spark, benchBase / 4, nHosts)
-    val (statsNAny, secN) = bestOf(s"N=$cpusN cores", math.max(reps - 1, 2))
+    val (statsNAny, secN) = bestOf(s"N=$cpusN cores", repsOther)
     val statsN = statsNAny.asInstanceOf[RunStats]
     val thrN = statsN.nComparisons / secN
     val eff = ((stats4N.nComparisons / sec4N) / thrN) / (cpus4N.toDouble / cpusN)
@@ -323,7 +327,7 @@ object Bench {
     writeSnapshot()
     scorePhase(spark, benchBase / 4, nHosts) // warmup
     spark.catalog.clearCache()
-    val (_, secScoreN) = bestOf(s"score N=$cpusN", math.max(reps - 1, 2),
+    val (_, secScoreN) = bestOf(s"score N=$cpusN", repsOther,
       scorePhase(_, benchBase / 2, nHosts))
     spark.stop()
     lk("sec_score_n") = f"$secScoreN%.3f"

@@ -61,7 +61,15 @@ object FastLink {
       case "dedupe_only" =>
         dedupe(dfA, cfg, blockCols, maxBlockRows, fanoutPartitions)
       case "link_and_dedupe" =>
-        dedupe(dfA.unionByName(dfB), cfg, blockCols, maxBlockRows, fanoutPartitions)
+        // stack A over B, reconciling the id columns (B's idB renamed to
+        // idA so unionByName lines up). CONTRACT: id values must be unique
+        // ACROSS the two tables — a shared id value would make a legitimate
+        // cross-table pair a self-pair (dropped by the id_a < id_b cut).
+        val bAligned =
+          if (cfg.idA == cfg.idB) dfB
+          else dfB.withColumnRenamed(cfg.idB, cfg.idA)
+        dedupe(dfA.unionByName(bAligned), cfg, blockCols, maxBlockRows,
+          fanoutPartitions)
       case _ =>
         Linker.link(dfA, dfB, cfg, blockCols = blockCols,
           maxBlockRows = maxBlockRows, fanoutPartitions = fanoutPartitions)
@@ -77,7 +85,9 @@ object FastLink {
     * The `id_a < id_b` cut is applied BEFORE pattern aggregation/EM (as a
     * pair filter), not after: a full self-cross would feed EM N guaranteed
     * self-pairs (all-agree patterns) plus every unordered pair twice, biasing
-    * p_m and the all-agree pattern's zeta upward.
+    * p_m and the all-agree pattern's zeta upward. The comparison space EM
+    * scales against (lambda prior, numberOfComparisons) is N(N-1)/2 to
+    * match — not N*N.
     */
   def dedupe(
       df: DataFrame,
@@ -90,5 +100,6 @@ object FastLink {
       cfg.copy(idA = "__ida", idB = "__idb"),
       blockCols = blockCols, maxBlockRows = maxBlockRows,
       fanoutPartitions = fanoutPartitions,
-      pairFilter = Some(col("id_a") < col("id_b")))
+      pairFilter = Some(col("id_a") < col("id_b")),
+      comparisonSpace = Some((n, _) => n * (n - 1) / 2))
 }

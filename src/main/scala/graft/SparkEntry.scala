@@ -474,8 +474,11 @@ object SparkEntry {
       // partition-pruning path is PlanSpec/TextOpsSpec-asserted
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val idx = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_q_ann_ivf_index").getAbsolutePath
+      // unique dir per invocation: a fixed shared path would let two
+      // concurrent drivers (Verify + Bench, parallel CI) overwrite each
+      // other's index between the write and the query
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q_ann_ivf_index").toString
       Similarity.writeIvfIndex(e, "vec_id", "embedding", idx, nCells = 8, kmeansIters = 1)
       Similarity.queryIvfIndex(e.filter(col("vec_id") < 30), "vec_id", "embedding",
         idx, k = 3, nProbe = 8)

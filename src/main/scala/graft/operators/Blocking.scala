@@ -81,6 +81,23 @@ object Blocking {
     sig.select(col(idCol), posexplode(array(keys: _*)).as(Seq("__band", "__key")))
   }
 
+  /** Drops every row of a group larger than `max` — the shared
+    * degenerate-bucket cap of all the LSH/blocking self-join paths
+    * (minhash/simhash bands, multi-key blocking). Implemented as ONE
+    * `count()` window over the group columns, NOT an aggregate + broadcast
+    * anti-join: the anti-join form re-evaluates the (possibly expensive)
+    * upstream key-derivation pipeline once for the hot list and once per
+    * downstream self-join side, while the window is a single shuffle of the
+    * row-scale table whose (groupCols) partitioning the self-join then
+    * reuses (identical canonicalized subtree -> ReusedExchange).
+    */
+  def capHotGroups(df: DataFrame, groupCols: Seq[String], max: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__gsz", count(lit(1)).over(w))
+      .filter(col("__gsz") <= max)
+      .drop("__gsz")
+  }
+
   /** Per-block sizes — the skew diagnostic feeding capping decisions. */
   def blockSizes(df: DataFrame, key: Column): DataFrame =
     df.groupBy(key.as("block_key"))
@@ -146,16 +163,7 @@ object Blocking {
     * self-join output is quadratic in one shuffle group).
     */
   def multiKeyCandidatePairs(keys: DataFrame, maxKeySize: Long = 10000): DataFrame = {
-    // window-count cap, not aggregate + anti-join: the latter re-evaluates
-    // the whole key-derivation pipeline (e.g. webPageBlockKeys' MinHash
-    // banding) once for the hot list and once per self-join side; the
-    // window is one shuffle of the row-scale key table whose partitioning
-    // the self-join reuses (same shape as Dedup.minhashDupPairs)
-    val wKey = org.apache.spark.sql.expressions.Window.partitionBy("__key")
-    val pruned = keys
-      .withColumn("__ksz", count(lit(1)).over(wKey))
-      .filter(col("__ksz") <= maxKeySize)
-      .drop("__ksz")
+    val pruned = capHotGroups(keys, Seq("__key"), maxKeySize)
     pruned.select(col("__key"), col("__id").as("id_a"))
       .join(pruned.select(col("__key"), col("__id").as("id_b")), Seq("__key"))
       .filter(col("id_a") < col("id_b"))

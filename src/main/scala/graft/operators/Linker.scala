@@ -192,21 +192,29 @@ object Linker {
       maxBlockRows: Option[Long] = None,
       persistPath: Option[String] = None,
       fanoutPartitions: Option[Int] = None,
-      pairFilter: Option[Column] = None): LinkResult = {
+      pairFilter: Option[Column] = None,
+      comparisonSpace: Option[(Long, Long) => Long] = None): LinkResult = {
     val spark = dfA.sparkSession
     val allSpecs = cfg.comparisons.allVariables
     // Input sizes (numberOfComparisons, lambda-prior scaling) are observed
     // metrics on the pair join's own side scans — no eager dfA.count()/
     // dfB.count() jobs before the join. `dims` must only be forced after the
     // first action on `pairs` (the persist / pattern collect below).
+    // `comparisonSpace` overrides the nA*nB comparison-space size when a
+    // pairFilter shrinks the space EM actually sees (dedupe's id_a < id_b
+    // cut => N(N-1)/2) — EmLink uses only the product of `dims`, for the
+    // lambda-prior scale and the reported numberOfComparisons, so the
+    // override rides in the first slot.
     val obsA = org.apache.spark.sql.Observation()
     val obsB = org.apache.spark.sql.Observation()
 
     var pairs = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows,
       fanoutPartitions, Some(obsA), Some(obsB))
     pairFilter.foreach(f => pairs = pairs.filter(f))
-    lazy val dims: (Long, Long) =
-      (obsA.get("n").asInstanceOf[Long], obsB.get("n").asInstanceOf[Long])
+    lazy val dims: (Long, Long) = {
+      val raw = (obsA.get("n").asInstanceOf[Long], obsB.get("n").asInstanceOf[Long])
+      comparisonSpace.fold(raw)(f => (f(raw._1, raw._2), 1L))
+    }
 
     // gamma columns for every leaf variable (one codegen'd projection; the
     // distinct-value rewrite is applied per variable where it pays)

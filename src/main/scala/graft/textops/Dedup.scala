@@ -177,17 +177,11 @@ object Dedup {
     // Cap pathological buckets: a band key shared by thousands of docs is a
     // degenerate (information-free) bucket whose self-join output is
     // quadratic in ONE sort-merge group. Standard LSH practice: drop them.
-    // The cap is a window COUNT over (band, key) — one shuffle of the
-    // row-scale keyed table, whose partitioning the self-join below then
-    // reuses (both sides are the identical canonicalized subtree ->
-    // ReusedExchange). The previous aggregate + broadcast anti-join form
-    // recomputed the whole shingle->minhash pipeline three times (hot list +
-    // both join sides) — measured 2x the query wall at sf0.1.
-    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("__band", "__key")
-    val pruned = keyed
-      .withColumn("__bsz", count(lit(1)).over(wBucket))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    // capHotGroups' window form matters here: the previous aggregate +
+    // broadcast anti-join recomputed the whole shingle->minhash pipeline
+    // three times (hot list + both join sides) — measured 2x the query
+    // wall at sf0.1.
+    val pruned = Blocking.capHotGroups(keyed, Seq("__band", "__key"), maxBucket)
     val cands = pruned.select(col("__band"), col("__key"), col("__id").as("id_a"))
       .join(pruned.select(col("__band"), col("__key"), col("__id").as("id_b")),
         Seq("__band", "__key"))
@@ -254,13 +248,9 @@ object Dedup {
         b => call_function("shiftrightunsigned", col("__sig"), lit(16) * b)
           .bitwiseAND(lit(0xFFFFL))))
         .as(Seq("__band", "__key")))
-    // degenerate-bucket cap, same rationale and window-count shape as
-    // minhashDupPairs (no recompute of the simhash aggregate for a hot list)
-    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("__band", "__key")
-    val banded = allBanded
-      .withColumn("__bsz", count(lit(1)).over(wBucket))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
+    // degenerate-bucket cap, same rationale as minhashDupPairs (no
+    // recompute of the simhash aggregate for a hot list)
+    val banded = Blocking.capHotGroups(allBanded, Seq("__band", "__key"), maxBucket)
     val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"), col("__sig").as("__sa"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"), col("__sig").as("__sb"))
     a.join(b, Seq("__band", "__key"))

@@ -59,14 +59,14 @@ object Multimodal {
       val buf = new Array[Byte](frameBytes)
       val big = fmt.isBigEndian
       var eof = false
-      while (!eof && frame < totalFrames) {
-        var read = 0
-        while (read < frameBytes && !eof) {
-          val r = ais.read(buf, read, frameBytes - read)
-          if (r < 0) eof = true else read += r
-        }
-        if (!eof) {
-          if (frame % stride == 0) {
+      try {
+        while (!eof && frame < totalFrames) {
+          var read = 0
+          while (read < frameBytes && !eof) {
+            val r = ais.read(buf, read, frameBytes - read)
+            if (r < 0) eof = true else read += r
+          }
+          if (!eof) {
             // mean over channels of this frame's 16-bit samples
             var c = 0; var s = 0.0
             while (c < channels) {
@@ -80,10 +80,21 @@ object Multimodal {
             sumSq += s * s; if (a > peak) peak = a; n += 1
             val seg = math.min(nSeg - 1, (frame * nSeg / totalFrames).toInt)
             segSum(seg) += s * s; segN(seg) += 1
+            frame += 1
+            // the bounded budget is real: SKIP the unsampled frames instead
+            // of reading them one by one (a 1-hour clip would otherwise pay
+            // O(totalFrames) reads through the conversion stream)
+            if (stride > 1) {
+              var toSkip = math.min(stride - 1, totalFrames - frame) * frameBytes
+              while (toSkip > 0 && !eof) {
+                val sk = ais.skip(toSkip)
+                if (sk <= 0) eof = true else toSkip -= sk
+              }
+              frame += math.min(stride - 1, totalFrames - frame)
+            }
           }
-          frame += 1
         }
-      }
+      } finally ais.close()
       if (n == 0) return null
       out(3) = math.sqrt(sumSq / n).toFloat
       out(4) = peak.toFloat

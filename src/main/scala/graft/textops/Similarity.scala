@@ -169,18 +169,6 @@ object Similarity {
     cents
   }
 
-  /** DataFrame view of [[kmeansCentroidsLocal]] (compat surface). */
-  def kmeansCentroids(
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      nCells: Int,
-      iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    kmeansCentroidsLocal(corpus, idCol, vecCol, nCells, iters)
-      .toDF("__cent_id", "__cent")
-  }
 
   /** IVF (inverted-file) ANN: the corpus is assigned once to its nearest of
     * `nCells` coarse centroids; each query probes only its `nProbe` nearest
@@ -259,6 +247,35 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     cents.toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_centroids")
+  }
+
+  /** Appends new vectors to an EXISTING persisted IVF index — the 100 TB
+    * maintenance path (daily increments land in the index without touching
+    * existing files or re-running the one-off k-means). Cells come from the
+    * index's own centroid sidecar, so assignment stays consistent with the
+    * original build; rows are assigned via the same shuffle-free argmax
+    * projection and appended to their `cell=` directories.
+    */
+  def appendToIvfIndex(
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/_graft_centroids")
+      .select(col("cell"), col("vec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty, s"no centroid sidecar at $path/_graft_centroids")
+    // cast to the EXISTING index schema: an increment whose id column is a
+    // narrower/wider type would otherwise produce mixed-schema parquet files
+    // under one index directory (reader picks one footer's schema, fails or
+    // misreads the rest)
+    val idType = spark.read.parquet(path).schema("id").dataType
+    newVectors
+      .select(col(idCol).cast(idType).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"),
+        nearestCentId(col(vecCol), cents).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** Top-k search against a persisted IVF index: queries are assigned to

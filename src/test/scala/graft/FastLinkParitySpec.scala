@@ -120,6 +120,8 @@ class FastLinkParitySpec extends SparkSpec {
     val dd = FastLink.dedupe(dfA, cfg.copy(idA = "ida"), blockCols = Seq("block"))
     assert(dd.em.patterns.map(_.count).sum == 500L * 499 / 2)
     assert(dd.pairs.count() == 500L * 499 / 2) // each unordered pair once
+    // the comparison space EM scales against matches what it actually saw
+    assert(dd.em.numberOfComparisons == 500L * 499 / 2)
 
     // link_type dispatch: a dedupe_only config must NOT silently run A x B
     val ddJson = json.replace("\"link_type\": \"link_only\"",

@@ -223,6 +223,19 @@ class TextOpsSpec extends SparkSpec {
     val partial = Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir, 3, nProbe = 2)
     val recall = (asSet(partial) & brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall@3 with 2/8 cells probed = $recall")
+    // incremental maintenance: append new vectors using the SAME sidecar
+    // centroids; an exhaustive query over the grown index = brute force
+    // over the grown corpus
+    val extra = spark.range(n, n + 30).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 1000.0))
+        .as("embedding")).cache()
+    Similarity.appendToIvfIndex(extra, "vec_id", "embedding", dir)
+    val grown = vecs.union(extra)
+    val bruteGrown = asSet(Similarity.bruteForceTopK(grown, queries, "vec_id", "embedding", 3))
+    val fullGrown = asSet(Similarity.queryIvfIndex(queries, "vec_id", "embedding", dir, 3, nProbe = 8))
+    assert(fullGrown == bruteGrown,
+      "exhaustive probe after append must equal brute force over the grown corpus")
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 

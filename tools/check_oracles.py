@@ -20,11 +20,11 @@ def load_correctness():
     p = f"{out_dir}/CORRECTNESS.json"
     try:
         with open(p) as f:
-            return json.load(f)
+            return json.load(f), True
     except Exception:
-        return {}
+        return {}, False
 
-correctness = load_correctness()
+correctness, correctness_loaded = load_correctness()
 
 def verdict(name, rows_match=None, schema_match=None, hash_match=None):
     row = correctness.setdefault(name, {})
@@ -98,7 +98,13 @@ for name, row in sorted(correctness.items()):
     if not row["rows_nonzero"]:
         print(f"WARN {name}: no oracle and rows={rows}")
 
-for path in (f"{out_dir}/CORRECTNESS.json", "CORRECTNESS.json"):
+# Only touch the repo-root copy when Verify's own record was actually
+# loaded from out_dir — a run against a wrong/stale out_dir must not
+# clobber the committed record with verdict-only rows.
+paths = [f"{out_dir}/CORRECTNESS.json"] + (["CORRECTNESS.json"] if correctness_loaded else [])
+if not correctness_loaded:
+    print(f"WARN: {out_dir}/CORRECTNESS.json missing — repo-root copy left untouched")
+for path in paths:
     try:
         with open(path, "w") as f:
             json.dump(correctness, f, indent=1, sort_keys=True)

@@ -125,6 +125,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("minhash LSH: banded pipeline computed once — self-join reuses the window's exchange") {
+    import graft.textops.Dedup
+    import graft.sources.WebCorpus
+    val docs = WebCorpus.pages(spark, WebCorpus.Params(nBase = 300, dupFraction = 0.3, nHosts = 10))
+      .select(col("page_id").as("doc_id"), col("text"))
+    val mh = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      threshold = 0.3, shingleSize = 3, numHashes = 16, bands = 8)
+    val qe = mh.queryExecution
+    mh.collect() // materialize THIS execution so the AQE plan is final
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    // the shingle->minhash->band-key pipeline must be evaluated once: the
+    // second self-join side's window input is a ReusedExchange of the first
+    // side's (band, key) shuffle — not a recompute of the whole pipeline
+    assert(plan.contains("ReusedExchange"),
+      "banded key table recomputed per join side:\n" + plan.take(3000))
+  }
+
   test("link scans each input side exactly once; side counts ride the join as observed metrics") {
     import spark.implicits._
     val accA = spark.sparkContext.longAccumulator("scanA")

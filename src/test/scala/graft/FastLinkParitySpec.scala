@@ -129,6 +129,23 @@ class FastLinkParitySpec extends SparkSpec {
     assert(MatchConfig.fromJson(ddJson).linkType == "dedupe_only")
     val ddOut = FastLink.link(dfA, dfA, ddJson, blockCols = Seq("block"))
     assert(ddOut.resultsEM.patterns.map(_.count).sum == 500L * 499 / 2)
+
+    // link_and_dedupe: DIFFERENT id column names must reconcile before the
+    // stack (idb renamed to ida), and the comparison space is the stacked
+    // table's unordered pairs. Ids are made disjoint explicitly — the 50
+    // true-match rows are byte-identical across the two fixture files, so
+    // their row-hash ids would collide, and a shared id value turns a
+    // legitimate cross-table pair into a dropped self-pair (the documented
+    // cross-table id-uniqueness contract; first caught by exactly this
+    // test reading 360775 != 360825).
+    val ldJson = json.replace("\"link_type\": \"link_only\"",
+      "\"link_type\": \"link_and_dedupe\"")
+    val ldA = dfA.withColumn("ida", abs(col("ida"))) // non-negative ids
+    val ldB = prep("dfB.csv", "idb").withColumn("block", lit(1))
+      .withColumn("idb", -abs(col("idb")) - 1) // strictly negative ids
+    val ld = FastLink.link(ldA, ldB, ldJson, blockCols = Seq("block"))
+    assert(ld.resultsEM.patterns.map(_.count).sum == 850L * 849 / 2)
+    assert(ld.resultsEM.numberOfComparisons == 850L * 849 / 2)
   }
 
   test("distinct-value rewrite yields identical gammas") {

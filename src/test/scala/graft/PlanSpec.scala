@@ -128,7 +128,11 @@ class PlanSpec extends SparkSpec {
   test("minhash LSH: banded pipeline computed once — self-join reuses the window's exchange") {
     import graft.textops.Dedup
     import graft.sources.WebCorpus
-    val docs = WebCorpus.pages(spark, WebCorpus.Params(nBase = 300, dupFraction = 0.3, nHosts = 10))
+    // hermetic: another suite caches a WebCorpus DF with the default params
+    // in the shared session, and a cache hit on the corpus subtree changes
+    // the physical plan under test — clear the cache and use distinct params
+    spark.catalog.clearCache()
+    val docs = WebCorpus.pages(spark, WebCorpus.Params(nBase = 280, dupFraction = 0.3, nHosts = 9))
       .select(col("page_id").as("doc_id"), col("text"))
     val mh = Dedup.minhashDupPairs(docs, "doc_id", "text",
       threshold = 0.3, shingleSize = 3, numHashes = 16, bands = 8)

@@ -64,10 +64,21 @@ object FastLink {
         // stack A over B, reconciling the id columns (B's idB renamed to
         // idA so unionByName lines up). CONTRACT: id values must be unique
         // ACROSS the two tables — a shared id value would make a legitimate
-        // cross-table pair a self-pair (dropped by the id_a < id_b cut).
+        // cross-table pair a self-pair (dropped by the id_a < id_b cut) and
+        // duplicate ids corrupt the pair space and EM pattern counts. The
+        // contract is enforced here at runtime (id-column-only semi-join,
+        // column-pruned scans) rather than trusted: silent wrong matches are
+        // the worst failure mode a linkage engine has.
         val bAligned =
           if (cfg.idA == cfg.idB) dfB
           else dfB.withColumnRenamed(cfg.idB, cfg.idA)
+        val shared = dfA.select(col(cfg.idA))
+          .join(bAligned.select(col(cfg.idA)), Seq(cfg.idA), "left_semi")
+          .limit(1).collect()
+        require(shared.isEmpty,
+          s"link_and_dedupe requires id values unique ACROSS dfA and dfB, " +
+            s"but both contain ${cfg.idA}=${shared.headOption.map(_.get(0)).orNull}. " +
+            "Disambiguate before calling (e.g. offset or tag-prefix one side's ids).")
         dedupe(dfA.unionByName(bAligned), cfg, blockCols, maxBlockRows,
           fanoutPartitions)
       case _ =>

@@ -479,6 +479,11 @@ object SparkEntry {
       // other's index between the write and the query
       val idx = java.nio.file.Files
         .createTempDirectory("graft_q_ann_ivf_index").toString
+      // the returned DataFrame is lazy (the caller counts/collects it later),
+      // so the index can't be deleted here; a shutdown hook stops Verify +
+      // Bench's warmup/reps from leaking one index copy per invocation
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        new scala.reflect.io.Directory(new java.io.File(idx)).deleteRecursively()))
       Similarity.writeIvfIndex(e, "vec_id", "embedding", idx, nCells = 8, kmeansIters = 1)
       Similarity.queryIvfIndex(e.filter(col("vec_id") < 30), "vec_id", "embedding",
         idx, k = 3, nProbe = 8)

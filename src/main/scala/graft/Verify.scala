@@ -46,22 +46,38 @@ object Verify {
     case other => other.toString
   }
 
-  /** (rows, schema, md5) of a written parquet result: columns sorted by
-    * name, canonical row strings sorted (order-independent content hash).
+  /** (rows, schema, hash) of a written parquet result: columns sorted by
+    * name; the content hash is the sum mod 2^128 of each canonical row
+    * string's md5 read as a 128-bit unsigned int — order-independent
+    * (addition commutes) and duplicate-sensitive (unlike xor), so any two
+    * engines producing the same multiset of rows agree. Computed
+    * DISTRIBUTIVELY: only per-partition (count, partial-sum) pairs reach the
+    * driver — the old form collect()ed the entire result and sorted it,
+    * which a pair-scale output at a larger sfDir would push past driver
+    * memory.
     */
   def fingerprint(spark: SparkSession, path: String): (Long, Seq[String], String) = {
     val df = spark.read.parquet(path)
     val cols = df.columns.sorted.toSeq
     val schema = df.schema.fields.sortBy(_.name)
       .map(f => s"${f.name}:${f.dataType.simpleString}").toSeq
-    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-      .collect()
-      .map(r => (0 until r.length).map(i => canonValue(r.get(i))).mkString("\u0001"))
-      .sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
-    val hash = md.digest().map("%02x".format(_)).mkString
-    (rows.length.toLong, schema, hash)
+    val mod = BigInt(1) << 128
+    val partials = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .rdd.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var n = 0L
+        var acc = BigInt(0)
+        it.foreach { r =>
+          val s = (0 until r.length).map(i => canonValue(r.get(i))).mkString("")
+          acc = (acc + BigInt(1, md.digest(s.getBytes("UTF-8")))) % (BigInt(1) << 128)
+          n += 1
+        }
+        Iterator((n, acc.toString(16)))
+      }.collect()
+    val rows = partials.map(_._1).sum
+    val total = partials.foldLeft(BigInt(0))((a, p) => (a + BigInt(p._2, 16)) % mod)
+    val hex = total.toString(16)
+    (rows, schema, "0" * (32 - hex.length) + hex)
   }
 
   def main(args: Array[String]): Unit = {

@@ -231,7 +231,10 @@ object EmLink {
         expM(j) / sM, expU(j) / sU, zeta(j))
     }
     EmResult(
-      varnames, pM, pU, iter, converged = iter <= opts.iterMax,
+      // Converged iff the loop exited on the delta condition — comparing the
+      // post-increment iter to iterMax mislabels a run whose delta first
+      // drops below tol exactly at iter == iterMax.
+      varnames, pM, pU, iter, converged = delta < opts.tol,
       numberOfComparisons = dims._1 * dims._2,
       patterns = stats,
       pGammaKM = pKM.map(_.toSeq).toSeq,

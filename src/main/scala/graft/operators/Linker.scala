@@ -212,7 +212,14 @@ object Linker {
       fanoutPartitions, Some(obsA), Some(obsB))
     pairFilter.foreach(f => pairs = pairs.filter(f))
     lazy val dims: (Long, Long) = {
-      val raw = (obsA.get("n").asInstanceOf[Long], obsB.get("n").asInstanceOf[Long])
+      // When a side is empty at runtime (e.g. an empty increment table),
+      // AQE/optimizer empty-relation propagation can eliminate the observed
+      // scan's CollectMetrics node and the observation resolves with no "n"
+      // key; fall back to an eager count of that side (degenerate input, so
+      // the extra job is trivial) instead of throwing key-not-found.
+      def sideN(obs: org.apache.spark.sql.Observation, df: DataFrame): Long =
+        obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(df.count())
+      val raw = (sideN(obsA, dfA), sideN(obsB, dfB))
       comparisonSpace.fold(raw)(f => (f(raw._1, raw._2), 1L))
     }
 

@@ -56,7 +56,10 @@ object StreamingOps {
     * against them by signature-estimated Jaccard (fraction of agreeing
     * minhash components — the standard one-pass proxy; the batch path
     * [[graft.textops.Dedup.minhashDupPairs]] verifies with TRUE shingle
-    * Jaccard, which a stream cannot without retaining every shingle set).
+    * Jaccard, which a stream cannot without retaining every shingle set.
+    * [[graft.textops.Dedup.verifyPairs]] is the batch bridge: join the
+    * emitted candidate pairs back to the stored corpus and re-score with
+    * true Jaccard — stream + bridge equals the batch path's answer).
     * Emits (id_a, id_b, est_jaccard) with id_a < id_b; a pair colliding in
     * several bands can be emitted once per band — `.dropDuplicates` within
     * the consumer's sink if exact-once pairs matter.
@@ -66,12 +69,16 @@ object StreamingOps {
     * cost is |bucket| signature comparisons, bounded by the cap.
     */
   /** Overflow observability + bounded state:
-    *  - `bucketOverflowAcc(spark)` (a named accumulator, visible per-query
-    *    in the Spark UI / StreamingQueryProgress) counts arrivals that were
-    *    COMPARED but not retained because their bucket hit `maxPerBucket`:
-    *    later near-duplicates of an overflowed doc are missed, and this
-    *    counter is how that coverage loss becomes observable instead of
-    *    silent.
+    *  - `overflowAcc` (a named accumulator, visible per-query in the Spark
+    *    UI / StreamingQueryProgress) counts arrivals that were COMPARED but
+    *    not retained because their bucket hit `maxPerBucket`: later
+    *    near-duplicates of an overflowed doc are missed, and this counter is
+    *    how that coverage loss becomes observable instead of silent. Each
+    *    call mints its OWN uniquely-named accumulator by default (pass one
+    *    explicitly to observe it), so concurrent nearDupStream queries on a
+    *    session never conflate counts. Accumulator caveat applies: task
+    *    retries/speculation re-add, so the value is an approximate upper
+    *    bound, not an exact count.
     *  - `stateTtl = Some(d)` switches the state to a processing-time TTL:
     *    a bucket idle for `d` is evicted (state stays bounded over the
     *    stream's lifetime — without it, NoTimeout state grows with every
@@ -88,11 +95,12 @@ object StreamingOps {
       numHashes: Int = 16,
       bands: Int = 4,
       maxPerBucket: Int = 1000,
-      stateTtl: Option[java.time.Duration] = None): Dataset[NearDupHit] = {
+      stateTtl: Option[java.time.Duration] = None,
+      overflowAcc: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.operators.Blocking
-    val overflow = bucketOverflowAcc(spark)
+    val overflow = overflowAcc.getOrElse(bucketOverflowAcc(spark))
     val rows = numHashes / bands
     val sig = Blocking.minhashSignature(
       Dedup.distinctShingles(col(textCol), shingleSize), numHashes)
@@ -146,19 +154,16 @@ object StreamingOps {
       }
     }
 
-  /** The shared per-session bucket-overflow accumulator for
-    * [[nearDupStream]] (created on first use, then reused — accumulator
-    * values survive across micro-batches for the lifetime of the session).
+  /** Mints a FRESH uniquely-named bucket-overflow accumulator for one
+    * [[nearDupStream]] query (values survive across that query's
+    * micro-batches). Was a shared per-session accumulator, which conflated
+    * counts across concurrent nearDupStream queries; the per-call unique
+    * name keeps each query's coverage-loss metric its own.
     */
   def bucketOverflowAcc(spark: org.apache.spark.sql.SparkSession): org.apache.spark.util.LongAccumulator =
-    overflowAccs.synchronized {
-      overflowAccs.getOrElseUpdate(spark, {
-        val acc = spark.sparkContext.longAccumulator("graft.nearDupStream.bucketOverflow")
-        acc
-      })
-    }
-  private val overflowAccs =
-    scala.collection.mutable.WeakHashMap.empty[org.apache.spark.sql.SparkSession, org.apache.spark.util.LongAccumulator]
+    spark.sparkContext.longAccumulator(
+      s"graft.nearDupStream.bucketOverflow#${overflowAccSeq.incrementAndGet()}")
+  private val overflowAccSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Incremental linkage: link a STREAM of incoming records against a
     * static reference table, scoring with EM parameters estimated offline by

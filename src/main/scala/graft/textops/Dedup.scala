@@ -100,10 +100,13 @@ object Dedup {
     def side(df: DataFrame, outId: String) = df.select(
       col(idCol).as(outId),
       explode(normalizedShingles(col(textCol), shingleSize)).as("__sh"))
-    val tsh = side(train, "train_id")
-    val hot = tsh.groupBy("__sh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDf)
-    val tshCapped = tsh.join(broadcast(hot), Seq("__sh"), "left_anti")
+    // Hot-shingle cap as ONE count() window (Blocking.capHotGroups), not an
+    // aggregate + broadcast anti-join: the anti-join form evaluated the
+    // train-side normalize->shingle->explode pipeline twice (hot list + capped
+    // side), the exact shape that made the r2 minhash path 5x slower. The
+    // window is a single shuffle of the exploded table whose (__sh)
+    // partitioning the bench equi-join then reuses.
+    val tshCapped = Blocking.capHotGroups(side(train, "train_id"), Seq("__sh"), maxShingleDf)
     side(bench, "bench_id")
       .join(tshCapped, "__sh")
       .groupBy("bench_id", "train_id")
@@ -147,6 +150,58 @@ object Dedup {
     * Shingles are materialized once per doc; the banded self-join and the
     * verification join only move ids + arrays.
     */
+  /** (\_\_id, \_\_sh distinct-shingle array) of a corpus, materialized and
+    * spread across tasks. Tokens split once per doc, parallelized (a single
+    * parquet file would otherwise run the whole projection on one task);
+    * shingles built from the materialized token attribute; a second exchange
+    * materializes the shingle arrays so downstream consumers read them
+    * instead of re-deriving from text. Shared by [[minhashDupPairs]]'s
+    * pipeline and [[verifyPairs]]' batch-verify stage.
+    */
+  private[graft] def shingleTable(
+      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        split(normalizeText(col(textCol)), " ").as("__toks"))
+      .repartition(par, col("__id"))
+    toks
+      .select(col("__id"),
+        array_distinct(Blocking.shinglesFromTokens(col("__toks"), shingleSize)).as("__sh"))
+      .repartition(par, col("__id"))
+  }
+
+  /** The candidate-verification stage: join (id_a, id_b) pairs back to the
+    * per-doc shingle arrays and keep TRUE shingle Jaccard >= threshold.
+    */
+  private def verifyWithShingles(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccardArrays(col("__sa"), col("__sb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Batch-verify bridge for candidate pairs produced OUTSIDE the batch
+    * pipeline — in particular by the streaming near-dup path
+    * ([[graft.streaming.StreamingOps.nearDupStream]]), which emits
+    * signature-ESTIMATED Jaccard because a stream cannot retain every
+    * shingle set. Joins the candidates back to the stored corpus and returns
+    * (id_a, id_b, jaccard) with TRUE shingle Jaccard >= threshold — the
+    * exact verification stage of [[minhashDupPairs]], so stream + bridge
+    * converges to the batch path's answer on the same corpus. Duplicate
+    * candidate rows (a stream pair can be emitted once per colliding band)
+    * are deduped first.
+    */
+  def verifyPairs(
+      docs: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3): DataFrame =
+    verifyWithShingles(candidates.select("id_a", "id_b").distinct(),
+      shingleTable(docs, idCol, textCol, shingleSize), threshold)
+
   def minhashDupPairs(
       docs: DataFrame,
       idCol: String,
@@ -156,21 +211,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
-    val spark = docs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    // Tokens split once per doc, parallelized (a single parquet file would
-    // otherwise run the whole projection on one task); shingles built from
-    // the materialized token attribute; a second exchange materializes the
-    // shingle arrays so downstream consumers read them instead of
-    // re-deriving from text.
-    val toks = docs
-      .select(col(idCol).as("__id"),
-        split(normalizeText(col(textCol)), " ").as("__toks"))
-      .repartition(par, col("__id"))
-    val sh = toks
-      .select(col("__id"),
-        array_distinct(Blocking.shinglesFromTokens(col("__toks"), shingleSize)).as("__sh"))
-      .repartition(par, col("__id"))
+    val sh = shingleTable(docs, idCol, textCol, shingleSize)
     // MinHash signature + band keys via explode + codegen'd min-aggregates
     // (the scale path — no interpreted lambda nesting)
     val keyed = Blocking.minhashBandKeys(sh, "__id", "__sh", numHashes, bands)
@@ -189,11 +230,7 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     // verify candidates against the true shingle Jaccard
-    cands
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sa")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sb")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccardArrays(col("__sa"), col("__sb")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyWithShingles(cands, sh, threshold)
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote of token

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   *
   * Images decode for real via pure-JDK `javax.imageio` (PNG/JPEG/BMP/GIF —
   * [[decodeImage]]); audio decodes for real via pure-JDK
-  * `javax.sound.sampled` (WAV/AIFF/AU PCM — [[decodeAudio]]). Video decode
-  * remains a clearly-marked deterministic STUB (no video codec libraries
-  * ship in this environment); the Spark-side contract — schema, partition
-  * batching, feature array shape, null handling — is identical for all
-  * three, so a real video decoder drops in by replacing [[decodeStub]] only.
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM — [[decodeAudio]]); video decodes
+  * for real for animated-GIF payloads (ImageIO reads every frame —
+  * [[decodeVideo]]: frame count + per-frame luminance envelope). True video
+  * CODEC formats (mp4/webm/...) have no decoder in this environment and fall
+  * back to the clearly-marked deterministic [[decodeStub]]; the Spark-side
+  * contract — schema, partition batching, feature array shape, null
+  * handling — is identical everywhere, so a codec library drops in by
+  * replacing that one function.
   */
 object Multimodal {
 
@@ -205,11 +208,100 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** STUB decoder (VIDEO only — images and audio decode for real above):
-    * deterministic pseudo-features from the payload bytes. A real
-    * implementation decodes the video and extracts features; the contract
-    * (fixed-length float array per row, null payload -> null features) is
-    * what the pipeline depends on.
+  /** Real multi-frame "video" decode for animated-GIF payloads (pure JDK:
+    * ImageIO's GIF reader exposes every frame): [0]=frame count, [1]=width,
+    * [2]=height, [3..dim-1]=mean luminance in [0,1] of up to `dim - 3`
+    * frames sampled evenly across the clip (a temporal luminance envelope).
+    * Per-frame pixel cost is bounded by a stride (~1k pixels/frame). True
+    * video codec formats (mp4/webm/...) have no JDK decoder — those fall
+    * back to the marked [[decodeStub]], as does any unreadable payload.
+    */
+  def decodeVideo(payload: Array[Byte], dim: Int): Array[Float] = {
+    if (payload == null || dim < 4) return null
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => return decodeStub(payload, dim) }
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return decodeStub(payload, dim)
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return decodeStub(payload, dim)
+        val out = new Array[Float](dim)
+        out(0) = n.toFloat
+        out(1) = reader.getWidth(0).toFloat
+        out(2) = reader.getHeight(0).toFloat
+        val nSample = math.min(dim - 3, n)
+        var s = 0
+        while (s < nSample) {
+          val fi = if (nSample == 1) 0 else (s.toLong * (n - 1) / (nSample - 1)).toInt
+          val img = reader.read(fi)
+          val w = img.getWidth; val h = img.getHeight
+          val stride = math.max(1, math.sqrt(w.toLong * h / 1024.0).toInt)
+          var lum = 0L; var np = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              lum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              np += 1
+              x += stride
+            }
+            y += stride
+          }
+          out(3 + s) = if (np == 0) 0f else (lum.toDouble / (np * 255.0)).toFloat
+          s += 1
+        }
+        out
+      } finally reader.dispose()
+    } catch { case _: Throwable => decodeStub(payload, dim) }
+    finally iis.close()
+  }
+
+  /** Deterministic multi-frame animated-GIF bytes from a seed — real,
+    * decodable "video" payloads (2-5 frames of 8x8) for tests and the
+    * synthetic media table; [[decodeVideo]] reads every frame back.
+    */
+  def syntheticGif(seed: Long): Array[Byte] = {
+    val nFrames = 2 + math.floorMod(seed, 4L).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var v = (seed + f * 1000003L) * 6364136223846793005L +
+            (y * 8 + x) * 1442695040888963407L
+          v ^= (v >>> 33)
+          img.setRGB(x, y, (v & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** STUB decoder (video CODEC formats only — images, audio, and GIF video
+    * decode for real above): deterministic pseudo-features from the payload
+    * bytes. A real implementation decodes the video and extracts features;
+    * the contract (fixed-length float array per row, null payload -> null
+    * features) is what the pipeline depends on.
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null) return null
@@ -230,7 +322,8 @@ object Multimodal {
     * the test/bench input. Image rows carry REAL 8x8 PNG payloads
     * ([[syntheticPng]], decodable by [[decodeImage]]); audio rows carry REAL
     * mono PCM WAV payloads ([[syntheticWav]], decodable by [[decodeAudio]]);
-    * video rows carry opaque text bytes (their decode is the stub).
+    * video rows carry REAL multi-frame animated-GIF payloads
+    * ([[syntheticGif]], decodable by [[decodeVideo]]).
     */
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(
@@ -248,6 +341,7 @@ object Multimodal {
         r.getString(1) match {
           case "image" => Row.fromSeq(r.toSeq.updated(2, syntheticPng(r.getLong(0))))
           case "audio" => Row.fromSeq(r.toSeq.updated(2, syntheticWav(r.getLong(0))))
+          case "video" => Row.fromSeq(r.toSeq.updated(2, syntheticGif(r.getLong(0))))
           case _       => r
         }
       }
@@ -255,9 +349,10 @@ object Multimodal {
   }
 
   /** Batched feature extraction: mapPartitions over (media_id, kind,
-    * payload), emitting (media_id, features array<float>). Image and audio
-    * rows decode for real ([[decodeImage]], [[decodeAudio]]); video rows go
-    * through the marked stub. Batching shape mirrors a vectorized-UDF
+    * payload), emitting (media_id, features array<float>). Image, audio, and
+    * GIF-video rows decode for real ([[decodeImage]], [[decodeAudio]],
+    * [[decodeVideo]]); codec-format video falls back to the marked stub
+    * inside decodeVideo. Batching shape mirrors a vectorized-UDF
     * pipeline: rows are processed in fixed-size batches so a real decoder
     * can amortize model/codec setup per batch; partitioning is preserved
     * (no shuffle).
@@ -278,7 +373,8 @@ object Multimodal {
             val feats = r.getString(1) match {
               case "image" => decodeImage(payload, dim)
               case "audio" => decodeAudio(payload, dim)
-              case _       => decodeStub(payload, dim) // STUB: no video codec here
+              // real for GIF; codec formats fall back to the marked stub
+              case _       => decodeVideo(payload, dim)
             }
             Row(id, feats)
           }

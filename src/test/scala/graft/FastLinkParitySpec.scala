@@ -146,6 +146,16 @@ class FastLinkParitySpec extends SparkSpec {
     val ld = FastLink.link(ldA, ldB, ldJson, blockCols = Seq("block"))
     assert(ld.resultsEM.patterns.map(_.count).sum == 850L * 849 / 2)
     assert(ld.resultsEM.numberOfComparisons == 850L * 849 / 2)
+
+    // intersecting id domains must FAIL FAST (runtime contract enforcement),
+    // not silently drop cross-table pairs as self-pairs: abs() on both sides
+    // makes the 50 byte-identical fixture rows' row-hash ids collide
+    val ldBClash = prep("dfB.csv", "idb").withColumn("block", lit(1))
+      .withColumn("idb", abs(col("idb")))
+    val clash = intercept[IllegalArgumentException] {
+      FastLink.link(ldA, ldBClash, ldJson, blockCols = Seq("block"))
+    }
+    assert(clash.getMessage.contains("unique ACROSS"), clash.getMessage)
   }
 
   test("distinct-value rewrite yields identical gammas") {

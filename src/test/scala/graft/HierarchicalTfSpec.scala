@@ -135,6 +135,30 @@ class HierarchicalTfSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("gamma_namegrp")).toSet.subsetOf(Set(0, 2)))
   }
 
+  test("converged flag: convergence exactly at iter == iterMax is still converged") {
+    // deterministic separable pattern table, pure driver-side EM
+    val vars = Seq("a", "b")
+    val pats = Seq(
+      EmLink.Pattern(Array(2, 2), 50),
+      EmLink.Pattern(Array(2, 0), 30),
+      EmLink.Pattern(Array(0, 2), 20),
+      EmLink.Pattern(Array(0, 0), 10000))
+    val full = EmLink.run(pats, (500L, 350L), vars)
+    assert(full.converged)
+    // iterConverge is post-increment: the loop completed iterConverge - 1
+    // iterations, the last of which drove delta below tol
+    val k = full.iterConverge - 1
+    assert(k >= 2, s"fixture converges trivially (k=$k); pick a harder one")
+    // budget of EXACTLY k iterations: delta first drops below tol at
+    // iter == iterMax — the old `iter <= iterMax` post-increment comparison
+    // mislabeled this run unconverged
+    val exact = EmLink.run(pats, (500L, 350L), vars, EmOptions(iterMax = k))
+    assert(exact.converged, s"converged at iter == iterMax ($k) mislabeled")
+    assert(exact.iterConverge == full.iterConverge && exact.pM == full.pM)
+    // one fewer iteration genuinely does NOT converge
+    assert(!EmLink.run(pats, (500L, 350L), vars, EmOptions(iterMax = k - 1)).converged)
+  }
+
   test("lambda prior shifts p_m upward") {
     val base = result.em.pM
     val cfgPrior = cfg.copy(comparisons = cfg.comparisons.copy(

@@ -70,7 +70,7 @@ class StreamingSpec extends SparkSpec {
     // but NOT retained -> overflow counted once per shared bucket
     val q = StreamingOps.nearDupStream(docs, "doc_id", "text",
         threshold = 0.4, shingleSize = 3, numHashes = 16, bands = 4,
-        maxPerBucket = 1)
+        maxPerBucket = 1, overflowAcc = Some(acc))
       .writeStream.format("memory").queryName("neardup_overflow")
       .outputMode(OutputMode.Append).start()
     try {
@@ -92,6 +92,40 @@ class StreamingSpec extends SparkSpec {
       assert(hits2 == Set((1L, 2L), (1L, 3L)), s"got $hits2")
       assert(acc.value - before == 8, s"overflow = ${acc.value - before}")
     } finally q.stop()
+  }
+
+  test("streaming near-dup bridge: verifyPairs on stream candidates == batch minhashDupPairs") {
+    // the stream emits signature-ESTIMATED Jaccard; the batch bridge joins
+    // its candidate pairs back to the stored shingle sets and re-scores with
+    // TRUE Jaccard — on the same corpus the result must equal the batch
+    // path's (same verify stage, same threshold)
+    import graft.textops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val nearDup = base.replace("today", "tonight")
+    val unrelated = "completely different words about spark catalyst plans and shuffles here"
+    val corpus = Seq((1L, base), (2L, unrelated), (3L, nearDup), (4L, unrelated))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.nearDupStream(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.4, shingleSize = 3, numHashes = 16, bands = 4)
+      .writeStream.format("memory").queryName("neardup_bridge")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val candidates = spark.table("neardup_bridge").select("id_a", "id_b")
+    assert(candidates.count() > 0)
+    val stored = corpus.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))).toSet
+    val bridged = pairSet(Dedup.verifyPairs(stored, candidates, "doc_id", "text",
+      threshold = 0.4, shingleSize = 3))
+    val batch = pairSet(Dedup.minhashDupPairs(stored, "doc_id", "text",
+      threshold = 0.4, shingleSize = 3))
+    assert(bridged.nonEmpty && bridged == batch, s"bridged=$bridged batch=$batch")
   }
 
   test("streaming near-dup TTL: state function registers the timeout and evicts on it") {

@@ -388,4 +388,34 @@ class TextOpsSpec extends SparkSpec {
     assert(audioFeats.nonEmpty)
     assert(audioFeats.forall(_.getAs[Seq[Float]]("features").head == 8000f))
   }
+
+  test("real multi-frame video (animated GIF) decode: frame count + luminance envelope") {
+    // planted multi-frame payload decodes for real: frame count, dims,
+    // per-frame luminance — not the stub's payload-hash pseudo-features
+    val gif = Multimodal.syntheticGif(5L)
+    val f = Multimodal.decodeVideo(gif, 16)
+    assert(f != null && f.length == 16)
+    val nFrames = 2 + 5 % 4 // syntheticGif contract
+    assert(f(0) == nFrames.toFloat, s"frame count ${f(0)}")
+    assert(f(1) == 8f && f(2) == 8f)
+    (0 until nFrames).foreach { i =>
+      assert(f(3 + i) > 0f && f(3 + i) < 1f, s"frame $i luminance ${f(3 + i)}")
+    }
+    // determinism; different seed -> different envelope
+    assert(Multimodal.decodeVideo(Multimodal.syntheticGif(5L), 16).toSeq == f.toSeq)
+    assert(Multimodal.decodeVideo(Multimodal.syntheticGif(6L), 16).toSeq != f.toSeq)
+    // codec formats / unreadable payloads fall back to the marked stub
+    val junk = "not a video".getBytes
+    assert(Multimodal.decodeVideo(junk, 16).toSeq == Multimodal.decodeStub(junk, 16).toSeq)
+    // through the pipeline: video rows get real decoded features (feature[1]
+    // = feature[2] = 8 px and frame count 2..5 fingerprint the GIF decoder)
+    val media = Multimodal.syntheticMedia(docs.limit(60), "doc_id", "text")
+    val videoFeats = Multimodal.extractFeatures(media.filter($"kind" === "video"), dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getAs[collection.Seq[Float]]("features")).toMap
+    assert(videoFeats.nonEmpty)
+    videoFeats.foreach { case (id, v) =>
+      assert(v(0) == (2 + math.floorMod(id, 4L)).toFloat, s"media $id frames ${v(0)}")
+      assert(v(1) == 8f && v(2) == 8f)
+    }
+  }
 }

@@ -13,11 +13,13 @@ import java.nio.file.{Files, Paths}
   *
   * It ALSO writes a machine-checkable correctness record — CORRECTNESS.json,
   * both in outDir and in the working directory — with one row per query:
-  * {"rows": N, "schema": ["col:type", ...], "hash": "md5-of-canonical-rows",
-  *  "err": null|"...", "sec": t}. The hash is over rows canonicalized as
-  * columns-sorted-by-name / values joined by \\u0001 / row strings sorted —
-  * order-independent, so any two engines producing the same multiset of rows
-  * agree. `tools/check_oracles.py` then cross-writes per-query DuckDB oracle
+  * {"rows": N, "schema": ["col:type", ...], "hash": "content-hash",
+  *  "err": null|"...", "sec": t}. The hash: each row canonicalized as
+  * columns-sorted-by-name values joined by \\u0001, md5'd, read as a 128-bit
+  * unsigned int, summed mod 2^128 (computed distributively, see
+  * [[fingerprint]]) — order-independent, so any two engines producing the
+  * same multiset of rows agree.
+  * `tools/check_oracles.py` then cross-writes per-query DuckDB oracle
   * verdicts ({"rows_match","schema_match","hash_match"}) into the same file.
   * Rationale: two driver rounds returned CORRECTNESS = {} while this exact
   * gate passed locally — the record must exist in-repo regardless of any

@@ -86,6 +86,15 @@ object EmLink {
     val nFeatures = varnames.size
     require(patterns.forall(_.gammas.length == nFeatures), "pattern arity != varnames")
     val nPat = patterns.size
+    // Empty pattern table (e.g. one input side empty at runtime — an empty
+    // increment table): a well-formed trivial result instead of NaN
+    // parameters from 0/0 M-steps downstream.
+    if (nPat == 0) {
+      return EmResult(varnames, opts.pM0, 1 - opts.pM0, 0, converged = true,
+        numberOfComparisons = dims._1 * dims._2, patterns = Nil,
+        pGammaKM = Seq.fill(nFeatures)(Nil), pGammaKU = Seq.fill(nFeatures)(Nil),
+        uvals = Seq.fill(nFeatures)(Nil), thresholdMatch = opts.thresholdMatch)
+    }
     val nJ = patterns.map(_.count.toDouble).toArray
     val sumN = nJ.sum
     val gam = patterns.map(_.gammas).toArray

@@ -158,6 +158,25 @@ class FastLinkParitySpec extends SparkSpec {
     assert(clash.getMessage.contains("unique ACROSS"), clash.getMessage)
   }
 
+  test("empty input side (e.g. empty increment table) degrades gracefully") {
+    // AQE empty-relation propagation eliminates the observed scan's
+    // CollectMetrics node; the side-count fallback + EmLink's empty-pattern
+    // contract must yield a clean zero-match result, not an obscure
+    // NoSuchElementException or NaN EM parameters
+    import spark.implicits._
+    val eCfg = MatchConfig(idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup(name = "t", variables = Seq(
+        VariableSpec("name", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("num", "numeric", cutA = 1, cutB = 2))))
+    val a = Seq((1L, "alpha", 10.0, "b1"), (2L, "beta", 20.0, "b1"))
+      .toDF("ida", "name", "num", "block")
+    val b = a.filter(lit(false)).toDF("idb", "name", "num", "block")
+    val res = Linker.link(a, b, eCfg, blockCols = Seq("block"))
+    assert(res.matches().count() == 0)
+    assert(res.em.numberOfComparisons == 0)
+    assert(res.em.converged && !res.em.pM.isNaN && res.em.patterns.isEmpty)
+  }
+
   test("distinct-value rewrite yields identical gammas") {
     // the pooled-kernel plan shape (score distinct value pairs, broadcast
     // back) must be a pure optimization: same gamma distribution

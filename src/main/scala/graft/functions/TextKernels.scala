@@ -37,4 +37,66 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray())
   }
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** MinHash signature of a shingle array in ONE pass: element `i-1` is
+    * `min over shingles s of xxhash64(s, i)` for seeds `i = 1..numHashes` —
+    * bit-identical to the explode + `min(xxhash64(col, lit(i)))` aggregate
+    * form (`xxhash64(s, i)` = `XXH64.hashInt(i, XXH64.hashUTF8String(s, 42))`;
+    * a null element contributes `hashInt(i, 42)`, exactly what the hash
+    * expression yields when a null child leaves the seed untouched). The
+    * per-shingle string hash is computed once and re-seeded per minhash —
+    * same op count as the aggregate, but as a pure projection: no exploded
+    * row stream through an aggregate hashmap, no exchange.
+    *
+    * An EMPTY array yields all-`Long.MaxValue` — callers that need parity
+    * with the aggregate form (where a shingle-less doc simply has no rows,
+    * hence no signature) must filter `size(shingles) > 0` first.
+    */
+  def minhashSig(sh: ArrayData, numHashes: Int): ArrayData = {
+    val n = sh.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h0 = if (sh.isNullAt(j)) 42L else XXH64.hashUTF8String(sh.getUTF8String(j), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashInt(i + 1, h0)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash of a token array in ONE pass: per-bit majority vote of
+    * `xxhash64(token)` (= `XXH64.hashUTF8String(t, 42)`; null token → 42,
+    * matching the hash expression's null-child behavior), bit set iff
+    * `2 * votes > nTokens`. Bit-identical to the explode + 64-column vote
+    * aggregate form, as a pure projection. An empty array yields 0L.
+    */
+  def simhash64(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = if (toks.isNullAt(j)) 42L else XXH64.hashUTF8String(toks.getUTF8String(j), 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) * 2L > n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 }

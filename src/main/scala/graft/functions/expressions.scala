@@ -149,6 +149,44 @@ case class TokenShingles(child: Expression, n: Int)
   override def prettyName: String = "token_shingles"
 }
 
+/** One-pass MinHash signature — see [[TextKernels.minhashSig]]. Turns the
+  * LSH signature stage into a pure projection (the explode + min-aggregate
+  * form shuffles one combiner row per doc and streams every exploded shingle
+  * through an aggregate hashmap first).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** One-pass 64-bit SimHash — see [[TextKernels.simhash64]]. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash64(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
 /** 0-based argmax-cosine centroid index — see [[VectorKernels.nearestCell]].
   * `right` is a (foldable, broadcast-as-literal) array<array<double>> of
   * centroids; evaluating this inside a plain projection is the shuffle-free
@@ -195,6 +233,10 @@ object GraftFunctions {
     col(NearestCell(exprVec(vec), expressionOf(cents.cast("array<array<double>>"))))
   def tokenShingles(toks: Column, n: Int): Column =
     col(TokenShingles(expressionOf(toks.cast("array<string>")), n))
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    col(MinHashSig(expressionOf(shingles.cast("array<string>")), numHashes))
+  def simhash64(toks: Column): Column =
+    col(SimHash64(expressionOf(toks.cast("array<string>"))))
 
   def jaroWinklerSim(a: Column, b: Column, p: Double = 0.1): Column =
     col(JaroWinklerSim(expr(a), expr(b), p))
@@ -228,6 +270,12 @@ object GraftFunctions {
     two("dot_product", DotProduct)
     reg.createOrReplaceTempFunction("token_shingles", {
       case Seq(toks, n) => TokenShingles(toks, n.eval().toString.toInt)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig", {
+      case Seq(sh, k) => MinHashSig(sh, k.eval().toString.toInt)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", {
+      case Seq(toks) => SimHash64(toks)
     }, "scala_udf")
   }
 }

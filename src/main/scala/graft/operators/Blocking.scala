@@ -57,11 +57,14 @@ object Blocking {
   /** Scale-path MinHash banding: input (idCol, shingle array column) ->
     * output (idCol, __band, __key), one row per (doc, band).
     *
-    * Shape: explode shingles -> one hash aggregate computing all `numHashes`
-    * minima per doc (whole-stage codegen, map-side combined) -> band keys as
-    * plain column hashes -> posexplode. No per-element lambda re-evaluation
-    * anywhere; cost is O(total shingles * numHashes) hash ops inside
-    * codegen.
+    * Shape: ONE codegen kernel pass per doc computing all `numHashes`
+    * minima ([[graft.functions.TextKernels.minhashSig]] — bit-identical to
+    * the former explode + min-aggregate form) -> band keys as plain column
+    * hashes over signature elements -> posexplode. A pure projection: no
+    * exploded row stream through an aggregate hashmap, no exchange — the
+    * signature stage now scales with the scan's partitioning alone. Docs
+    * with no shingles are filtered (the aggregate form had no rows for
+    * them, hence no signature — same semantics, now explicit).
     */
   def minhashBandKeys(
       docsWithShingles: DataFrame,
@@ -71,12 +74,12 @@ object Blocking {
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val exploded = docsWithShingles
-      .select(col(idCol), explode(col(shingleCol)).as("__s"))
-    val aggs = (1 to numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__h$i"))
-    val sig = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = docsWithShingles
+      .filter(size(col(shingleCol)) > 0)
+      .select(col(idCol),
+        graft.functions.GraftFunctions.minhashSig(col(shingleCol), numHashes).as("__sig"))
     val keys = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (1 to rows).map(r => col(s"__h${b * rows + r}"))): _*)
+      xxhash64((lit(b) +: (1 to rows).map(r => element_at(col("__sig"), b * rows + r))): _*)
     }
     sig.select(col(idCol), posexplode(array(keys: _*)).as(Seq("__band", "__key")))
   }

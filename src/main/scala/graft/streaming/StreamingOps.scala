@@ -102,7 +102,11 @@ object StreamingOps {
     import graft.operators.Blocking
     val overflow = overflowAcc.getOrElse(bucketOverflowAcc(spark))
     val rows = numHashes / bands
-    val sig = Blocking.minhashSignature(
+    // one-pass codegen kernel, value-identical to the HOF form
+    // Blocking.minhashSignature (and per-arrival cost matters here); also
+    // yields MaxValue (not null) components for shingle-less docs, which the
+    // Seq[Long] encoder would reject
+    val sig = graft.functions.GraftFunctions.minhashSig(
       Dedup.distinctShingles(col(textCol), shingleSize), numHashes)
     val banded = docs
       .select(col(idCol).cast("long").as("id"), sig.as("sig"))

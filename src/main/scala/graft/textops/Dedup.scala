@@ -234,39 +234,28 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote of token
-    * hashes, pure column arithmetic (no UDF). Expression form for one-off
-    * column use; [[simhashTable]] is the explode+aggregate scale path.
+    * hashes, computed in ONE codegen kernel pass over the token array
+    * ([[graft.functions.TextKernels.simhash64]] — bit-identical to the
+    * former explode + 64-column vote aggregate, and to the interpreted
+    * `aggregate()` HOF form before that).
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(normalizeText(text), " "), t => xxhash64(t))
-    val n = size(hashes)
-    (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftrightunsigned(h, bit).bitwiseAND(lit(1L)))
-      when(votes * 2 > n.cast("long"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(split(normalizeText(text), " "))
 
-  /** (id, simhash) via explode + one codegen'd hash aggregate computing the
-    * 64 per-bit vote sums — the scale path for [[simhash64]].
+  /** (id, simhash) as a pure projection — the kernel evaluates per doc, so
+    * there is no exploded token stream and no aggregate exchange; the one
+    * repartition spreads a few-file local scan across tasks (a real
+    * cluster's scan already has the parallelism; harmless there).
     */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val exploded = docs
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs
       .select(col(idCol).as("__id"), col(textCol))
+      // a null text had no exploded rows in the former aggregate form, so
+      // the doc had no signature; keep that semantics explicit
+      .filter(col(textCol).isNotNull)
       .repartition(par, col("__id"))
-      .select(col("__id"),
-        explode(split(normalizeText(col(textCol)), " ")).as("__t"))
-      .select(col("__id"), xxhash64(col("__t")).as("__h"))
-    val aggs = (0 until 64).map { bit =>
-      sum(shiftrightunsigned(col("__h"), bit).bitwiseAND(lit(1L))).as(s"__b$bit")
-    } :+ count(lit(1)).as("__n")
-    val votes = exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*)
-    val sig = (0 until 64).map { bit =>
-      when(col(s"__b$bit") * 2 > col("__n"), shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    votes.select(col("__id"), sig.as("__sig"))
+      .select(col("__id"), simhash64(col(textCol)).as("__sig"))
   }
 
   /** SimHash near-dup candidate pairs: block on bit-bands of the simhash

@@ -125,6 +125,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("minhash/simhash signature stages are pure projections: no aggregate, no extra exchange") {
+    import graft.textops.Dedup
+    import graft.operators.Blocking
+    // NOT a Seq-literal DF: ConvertToLocalRelation would evaluate the kernel
+    // projection at optimization time and the plan under test would vanish
+    val docs = spark.range(3).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("a"), col("id").cast("string"), lit("c d e")).as("text"))
+    // band keys from a materialized shingle table: kernel projection + posexplode
+    val sh = docs.select(col("doc_id"),
+      array_distinct(Blocking.tokenShingles(col("text"), 3)).as("__sh"))
+    val banded = Blocking.minhashBandKeys(sh, "doc_id", "__sh", 16, 4)
+    val bandedPlan = formatted(banded)
+    assert(!bandedPlan.contains("HashAggregate"), bandedPlan)
+    assert(!bandedPlan.contains("Exchange"), bandedPlan)
+    assert(bandedPlan.contains("minhash_sig"), bandedPlan)
+    // `*(n)` prefixes = whole-stage-codegen stages in this plan rendering
+    assert(bandedPlan.contains("*(1) Project"), bandedPlan)
+    // simhash table: one repartition exchange (scan spreading), zero aggregates
+    val simPlan = formatted(Dedup.simhashTable(docs, "doc_id", "text"))
+    assert(!simPlan.contains("HashAggregate"), simPlan)
+    assert("Exchange".r.findAllIn(simPlan).size == 1, simPlan)
+    assert(simPlan.contains("simhash64"), simPlan)
+  }
+
   test("minhash LSH: banded pipeline computed once — self-join reuses the window's exchange") {
     import graft.textops.Dedup
     import graft.sources.WebCorpus

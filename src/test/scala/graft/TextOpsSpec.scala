@@ -43,6 +43,46 @@ class TextOpsSpec extends SparkSpec {
     assert(lsh == truth, s"missed=${(truth -- lsh).size} extra=${(lsh -- truth).size}")
   }
 
+  test("minhash/simhash kernels are bit-identical to the explode+aggregate forms") {
+    // the one-pass codegen kernels replaced the explode + min-aggregate /
+    // 64-column vote-aggregate pipelines; the old forms (rebuilt here) are
+    // the oracle — any drift silently changes every LSH bucket
+    val edge = Seq((9000001L, ""), (9000002L, "one"), (9000003L, "  spaced   out  "))
+      .toDF("doc_id", "text")
+    val corpus = docs.limit(120).union(edge)
+    val k = 8
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text", 3).cache()
+    val aggSig = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+      .groupBy("__id")
+      .agg(min(xxhash64(col("__s"), lit(1))).as("__h1"),
+        (2 to k).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__h$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(i => r.getLong(i))).toMap
+    val kernelSig = sh.filter(size(col("__sh")) > 0)
+      .select(col("__id"),
+        graft.functions.GraftFunctions.minhashSig(col("__sh"), k).as("__sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]](1).toSeq).toMap
+    assert(kernelSig.keySet == aggSig.keySet) // shingle-less docs absent in both
+    kernelSig.foreach { case (id, sig) => assert(sig == aggSig(id), s"doc $id") }
+
+    val aggSim = corpus.select(col("doc_id").as("__id"),
+        explode(split(Dedup.normalizeText(col("text")), " ")).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+      .groupBy("__id")
+      .agg(sum(shiftrightunsigned(col("__h"), 0).bitwiseAND(lit(1L))).as("__b0"),
+        ((1 until 64).map(b =>
+          sum(shiftrightunsigned(col("__h"), b).bitwiseAND(lit(1L))).as(s"__b$b")) :+
+          count(lit(1)).as("__n")): _*)
+      .select(col("__id"),
+        (0 until 64).map { b =>
+          when(col(s"__b$b") * 2 > col("__n"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce(_.bitwiseOR(_)).as("__sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernelSim = Dedup.simhashTable(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernelSim == aggSim)
+  }
+
   test("simhash dup pairs are near-dups, hamming symmetric bound") {
     val small = docs.limit(150)
     val pairs = Dedup.simhashDupPairs(small, "doc_id", "text", maxHamming = 6).cache()

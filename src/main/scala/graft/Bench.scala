@@ -36,11 +36,12 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // pair generation is join-OUTPUT-dominated: AQE's input-bytes-based
-      // partition coalescing would collapse it onto a handful of tasks.
-      // Operators that want coalescing (ConnectedComponents) re-enable it
-      // in their own scope.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // AQE left at defaults (coalescing ON): the pair join's quadratic
+      // fan-out is protected structurally via fanoutPartitions (an explicit
+      // repartition AQE never coalesces — PlanSpec-asserted), so the rest of
+      // the suite keeps input-bytes coalescing, which the small-shuffle
+      // queries want (a session-global disable measured 4.6x on
+      // q_contamination warm: 1.4 s -> 6.5 s).
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -50,6 +51,13 @@ object Bench {
 
   final case class RunStats(
       nComparisons: Long, nMatched: Long, nClusters: Long, f1: Double)
+
+  // Structural fan-out for the pair join (join-OUTPUT-dominated: tiny input,
+  // quadratic output — AQE would size the stage by input bytes). Constant
+  // across the N/4N/peak levels so the scaling ratio reflects cores, not
+  // partitioning.
+  private def pairFanout(s: SparkSession): Int =
+    math.max(64, s.sparkContext.defaultParallelism * 2)
 
   private def benchPages(spark: SparkSession, nBase: Long, nHosts: Int): DataFrame =
     WebCorpus.pages(spark, WebCorpus.Params(nBase = nBase, dupFraction = 0.25,
@@ -87,7 +95,8 @@ object Bench {
     val cfg = MatchConfig(idA = "ida", idB = "idb",
       comparisons = ComparisonGroup(name = "bench", variables = benchSpecs))
     val res = Linker.link(benchSide(pages, "ida"), benchSide(pages, "idb"), cfg,
-      blockCols = Seq("block"), maxBlockRows = Some(1000L))
+      blockCols = Seq("block"), maxBlockRows = Some(1000L),
+      fanoutPartitions = Some(pairFanout(spark)))
     val nComparisons = res.em.patterns.map(_.count).sum
     val matched = res.matches().filter(col("id_a") < col("id_b"))
     val comps = ConnectedComponents.clusterPairs(matched)
@@ -117,7 +126,8 @@ object Bench {
     val cfg = MatchConfig(idA = "ida", idB = "idb",
       comparisons = ComparisonGroup(name = "bench", variables = benchSpecs))
     val pairs = Linker.buildPairs(benchSide(pages, "ida"), benchSide(pages, "idb"),
-      cfg, benchSpecs, Seq("block"), maxBlockRows = Some(1000L))
+      cfg, benchSpecs, Seq("block"), maxBlockRows = Some(1000L),
+      fanoutPartitions = Some(pairFanout(spark)))
     // Sum EVERY gamma column: an agg referencing only one gamma lets Catalyst
     // column-prune the other five comparator expressions out of the plan, so
     // the "heavy phase" would time the join plus ONE Jaro-Winkler.
@@ -138,7 +148,8 @@ object Bench {
     val cfg = MatchConfig(idA = "ida", idB = "idb",
       comparisons = ComparisonGroup(name = "bench", variables = benchSpecs))
     val pairs = Linker.buildPairs(benchSide(pages, "ida"), benchSide(pages, "idb"),
-      cfg, benchSpecs, Seq("block"), maxBlockRows = Some(1000L))
+      cfg, benchSpecs, Seq("block"), maxBlockRows = Some(1000L),
+      fanoutPartitions = Some(pairFanout(spark)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count() // materialize once; per-variable timings then exclude the join
     val times = benchSpecs.map { s =>

@@ -74,7 +74,9 @@ object BenchProbe {
     def side(id: String) = pages.select(col("page_id").as(id), col("title"), col("mid3"),
       col("tail3"), col("tok1"), col("lang"), col("n_tokens"), col("block"))
     val pairs = Linker.buildPairs(side("ida"), side("idb"), cfg.copy(idA = "ida", idB = "idb"),
-      specs, Seq("block"), maxBlockRows = Some(1000L))
+      specs, Seq("block"), maxBlockRows = Some(1000L),
+      fanoutPartitions =
+        Some(math.max(64, spark.sparkContext.defaultParallelism * 2)))
     timed("pair count (join only)")(pairs.count())
     val withG = Gamma.addGammaColumns(pairs, specs)
     val narrowCols = (Seq("id_a", "id_b") ++ specs.map(s => "gamma_" + s.varname)).map(col)
@@ -104,10 +106,8 @@ object BenchProbe {
         .appName(s"probe-$cpus")
         .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
         .config("spark.sql.adaptive.enabled", "true")
-        // pair-generation stages are join-OUTPUT-dominated: AQE's
-        // input-bytes-based coalescing would merge them onto a handful of
-        // tasks (tiny input, quadratic output)
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        // AQE defaults (coalescing ON) — the pair join's fan-out is
+        // protected structurally via fanoutPartitions, mirroring Bench
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")

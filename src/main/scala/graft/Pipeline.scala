@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.MatchConfig
+import graft.operators.Checkpoints
+
+/** spark-submit entry point for the resumable link-and-cluster pipeline
+  * (north rule: "resumable from checkpoint with per-partition lineage +
+  * metrics, run via spark-submit").
+  *
+  * {{{
+  * spark-submit --master <cluster> --class graft.Pipeline <classpath> \
+  *   --input-a /data/pages_a.parquet [--input-b /data/pages_b.parquet] \
+  *   --config fastlink_config.json \
+  *   --block host,lang \
+  *   --checkpoint s3://bucket/ckpt/run1 \
+  *   [--out /data/clusters.parquet] [--max-block-rows 1000] [--fanout 256]
+  * }}}
+  *
+  * The config is the reference's JSON shape verbatim
+  * (`/root/reference/test_parameters.json`); `link_type` dispatches exactly
+  * like [[FastLink.link]]: `dedupe_only` self-links input A (each unordered
+  * pair once, comparison space N(N-1)/2), `link_and_dedupe` dedupes the
+  * stacked A UNION B (ids must be unique across the tables — enforced),
+  * anything else links A x B. Omitting `--input-b` forces dedupe mode.
+  *
+  * Every stage (gammas, patterns, matches, clusters) lands under the
+  * checkpoint root with a sidecar carrying row counts and per-partition
+  * lineage counters; a re-run after a crash skips complete stages. The final
+  * stdout line is one JSON object with per-stage metrics, which stages were
+  * resumed vs computed, EM convergence, and wall time — machine-parseable
+  * run evidence. Master/executors come from spark-submit (`--master`,
+  * `--num-executors`), so the same invocation runs at N and 4N executors
+  * for the scaling measurement.
+  */
+object Pipeline {
+
+  final case class Args(
+      inputA: String,
+      inputB: Option[String],
+      configPath: String,
+      blockCols: Seq[String],
+      checkpointRoot: String,
+      out: Option[String],
+      maxBlockRows: Option[Long],
+      fanout: Option[Int])
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var rest = argv.toList
+    while (rest.nonEmpty) rest match {
+      case flag :: value :: tail if flag.startsWith("--") =>
+        m(flag.stripPrefix("--")) = value; rest = tail
+      case bad :: _ =>
+        throw new IllegalArgumentException(s"unpaired argument: $bad")
+    }
+    def req(k: String) = m.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required --$k"))
+    Args(
+      inputA = req("input-a"),
+      inputB = m.get("input-b"),
+      configPath = req("config"),
+      blockCols = m.get("block").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
+      checkpointRoot = req("checkpoint"),
+      out = m.get("out"),
+      maxBlockRows = m.get("max-block-rows").map(_.toLong),
+      fanout = m.get("fanout").map(_.toInt))
+  }
+
+  /** Runs the pipeline; returns the JSON summary line. Separated from
+    * `main` so tests drive it with their own session.
+    */
+  def run(spark: SparkSession, args: Args): String = {
+    val t0 = System.nanoTime()
+    val cfg = MatchConfig.fromJson(Files.readString(Paths.get(args.configPath)))
+    val dfA = spark.read.parquet(args.inputA)
+    val stages = Seq("gammas", "patterns", "matches", "clusters")
+    val resumed = stages.filter(Checkpoints.isComplete(args.checkpointRoot, _))
+
+    def dedupeOf(df: DataFrame): DataFrame = {
+      // self-link with reconciled id names; each unordered pair once and the
+      // comparison space EM scales against is N(N-1)/2 — see FastLink.dedupe
+      require(df.columns.contains(cfg.idA),
+        s"id column '${cfg.idA}' (config idvar) not present in the input: " +
+          df.columns.mkString(", "))
+      val a = df.withColumnRenamed(cfg.idA, "__ida")
+      val b = df.withColumnRenamed(cfg.idA, "__idb")
+      Checkpoints.linkAndClusterResumable(a, b,
+        cfg.copy(idA = "__ida", idB = "__idb"), args.blockCols,
+        args.checkpointRoot, args.maxBlockRows, args.fanout,
+        pairFilter = Some(col("id_a") < col("id_b")),
+        comparisonSpace = Some((n, _) => n * (n - 1) / 2))
+    }
+
+    val clusters = (cfg.linkType, args.inputB) match {
+      case ("dedupe_only", _) | (_, None) => dedupeOf(dfA)
+      case ("link_and_dedupe", Some(pathB)) =>
+        val dfB = spark.read.parquet(pathB)
+        val bAligned =
+          if (cfg.idA == cfg.idB) dfB else dfB.withColumnRenamed(cfg.idB, cfg.idA)
+        val shared = dfA.select(col(cfg.idA))
+          .join(bAligned.select(col(cfg.idA)), Seq(cfg.idA), "left_semi")
+          .limit(1).collect()
+        require(shared.isEmpty,
+          s"link_and_dedupe requires id values unique ACROSS the inputs, " +
+            s"but both contain ${cfg.idA}=${shared.headOption.map(_.get(0)).orNull}")
+        dedupeOf(dfA.unionByName(bAligned))
+      case (_, Some(pathB)) =>
+        Checkpoints.linkAndClusterResumable(dfA, spark.read.parquet(pathB),
+          cfg, args.blockCols, args.checkpointRoot, args.maxBlockRows,
+          args.fanout)
+    }
+    args.out.foreach(clusters.write.mode("overwrite").parquet(_))
+
+    val stageJson = stages.flatMap { s =>
+      Checkpoints.readInfo(args.checkpointRoot, s).map { i =>
+        s""""$s":{"rows":${i.rows},"partitions":${i.partitions},""" +
+          s""""resumed":${resumed.contains(s)},"written_at_ms":${i.writtenAtMs}}"""
+      }
+    }.mkString("{", ",", "}")
+    val sec = (System.nanoTime() - t0) / 1e9
+    s"""{"link_type":"${cfg.linkType}","stages":$stageJson,""" +
+      s""""resumed_stages":${resumed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""out":${args.out.map("\"" + _ + "\"").getOrElse("null")},""" +
+      f""""sec":$sec%.2f}"""
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toIndexedSeq)
+    // master / executor topology come from spark-submit; local[*] fallback
+    // makes bare `java -cp` invocations work too
+    val builder = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (new org.apache.spark.SparkConf().contains("spark.master"))
+      builder else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val summary = run(spark, args)
+    spark.stop()
+    // file first (survives stdout mangling), then the bare final line
+    try Files.writeString(Paths.get("PIPELINE.json"), summary + "\n")
+    catch { case _: Throwable => () }
+    println(summary)
+  }
+}

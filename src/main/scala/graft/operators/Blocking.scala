@@ -174,9 +174,9 @@ object Blocking {
       .distinct()
   }
 
-  /** LSH candidate pairs: explode band keys, self-join per (band, key),
-    * distinct. `distinct` dedupes pairs sharing several bands before any
-    * expensive verification.
+  /** LSH candidate pairs: band keys via the one-pass kernel projection
+    * ([[minhashBandKeys]]), self-join per (band, key), distinct. `distinct`
+    * dedupes pairs sharing several bands before any expensive verification.
     */
   def lshCandidatePairs(
       df: DataFrame,
@@ -185,11 +185,9 @@ object Blocking {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val rows = numHashes / bands
-    val keyed = df
-      .select(col(idCol).as("__id"),
-        posexplode(bandKeys(minhashSignature(tokenShingles(text, shingleSize), numHashes),
-          bands, rows)).as(Seq("__band", "__key")))
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(tokenShingles(text, shingleSize)).as("__sh"))
+    val keyed = minhashBandKeys(sh, "__id", "__sh", numHashes, bands)
     val a = keyed.select(col("__band"), col("__key"), col("__id").as("id_a"))
     val b = keyed.select(col("__band"), col("__key"), col("__id").as("id_b"))
     a.join(b, Seq("__band", "__key"), "inner")

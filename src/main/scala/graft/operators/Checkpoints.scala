@@ -84,21 +84,31 @@ object Checkpoints {
       cfg: graft.config.MatchConfig,
       blockCols: Seq[String],
       root: String,
-      maxBlockRows: Option[Long] = None): DataFrame = {
+      maxBlockRows: Option[Long] = None,
+      fanoutPartitions: Option[Int] = None,
+      pairFilter: Option[org.apache.spark.sql.Column] = None,
+      comparisonSpace: Option[(Long, Long) => Long] = None): DataFrame = {
     val spark = dfA.sparkSession
     val specs = cfg.comparisons.allVariables
     val varnames = specs.map(_.varname)
 
     val gammas = materialize(spark, root, "gammas") {
-      val pairs = Linker.buildPairs(dfA, dfB, cfg, specs, blockCols, maxBlockRows)
+      val pairs0 = Linker.buildPairs(dfA, dfB, cfg, specs, blockCols,
+        maxBlockRows, fanoutPartitions)
+      val pairs = pairFilter.fold(pairs0)(pairs0.filter)
       Gamma.addGammaColumns(pairs, specs)
         .select((Seq("id_a", "id_b") ++ varnames.map(Gamma.gammaColName)).map(col): _*)
     }
     val patternDf = materialize(spark, root, "patterns") {
       Patterns.aggregate(gammas, varnames)
     }
+    // comparisonSpace overrides nA*nB when a pairFilter shrank the space EM
+    // sees (dedupe's id_a < id_b cut => N(N-1)/2); EmLink uses only the
+    // product of dims, so the override rides in the first slot.
+    val rawDims = (dfA.count(), dfB.count())
+    val dims = comparisonSpace.fold(rawDims)(f => (f(rawDims._1, rawDims._2), 1L))
     val em = EmLink.run(Patterns.collect(patternDf, varnames),
-      (dfA.count(), dfB.count()), varnames, cfg.comparisons.em)
+      dims, varnames, cfg.comparisons.em)
     val matches = materialize(spark, root, "matches") {
       Patterns.attach(gammas, Patterns.statsDf(spark, em), varnames)
         .filter(col("zeta_j") >= cfg.comparisons.em.thresholdMatch)

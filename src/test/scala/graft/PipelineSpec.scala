@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.operators.{Blocking, Checkpoints}
+import graft.sources.WebCorpus
+
+class PipelineSpec extends SparkSpec {
+
+  private def writeConfig(dir: String): String = {
+    val cfgPath = s"$dir/config.json"
+    // reference JSON shape (test_parameters.json); dedupe_only so a single
+    // input table is linked against itself
+    Files.writeString(Paths.get(cfgPath),
+      """{"idvar": ["page_id", "page_id"],
+        | "link_type": "dedupe_only",
+        | "comparisons": {"name": "web",
+        |   "threshold_match": 0.85,
+        |   "variables": [
+        |     {"varname": "title", "method": "jarowinkler", "cut_a": 0.92, "cut_b": 0.88},
+        |     {"varname": "n_tokens", "method": "numeric", "cut_a": 1, "cut_b": 3}]}}""".stripMargin)
+    cfgPath
+  }
+
+  test("pipeline CLI: dedupe run end-to-end, then full resume from checkpoints") {
+    val dir = Files.createTempDirectory("graft-pipe").toString
+    val pages = WebCorpus.pages(spark, WebCorpus.Params(nBase = 400, dupFraction = 0.3, nHosts = 10))
+      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
+      .select("page_id", "title", "n_tokens", "block")
+    pages.write.parquet(s"$dir/pages.parquet")
+
+    val args = Pipeline.parseArgs(Seq(
+      "--input-a", s"$dir/pages.parquet",
+      "--config", writeConfig(dir),
+      "--block", "block",
+      "--checkpoint", s"$dir/ckpt",
+      "--out", s"$dir/clusters.parquet",
+      "--max-block-rows", "200",
+      "--fanout", "8"))
+    assert(args.inputB.isEmpty && args.maxBlockRows.contains(200L))
+
+    val summary1 = Pipeline.run(spark, args)
+    assert(summary1.contains(""""link_type":"dedupe_only""""))
+    assert(summary1.contains(""""resumed_stages":[]"""), summary1)
+    val clusters = spark.read.parquet(s"$dir/clusters.parquet")
+    // materialize rows BEFORE the resume run overwrites the same out path
+    val rows1 = clusters.collect().toSet
+    assert(rows1.nonEmpty)
+    assert(clusters.columns.toSet == Set("node", "component"))
+
+    // second invocation must resume every stage (same checkpoint metadata,
+    // nothing recomputed) and produce the identical cluster set
+    val gammasBefore = Checkpoints.readInfo(s"$dir/ckpt", "gammas").get.writtenAtMs
+    val summary2 = Pipeline.run(spark, args)
+    assert(summary2.contains(""""resumed_stages":["gammas","patterns","matches","clusters"]"""),
+      summary2)
+    assert(Checkpoints.readInfo(s"$dir/ckpt", "gammas").get.writtenAtMs == gammasBefore)
+    val rows2 = spark.read.parquet(s"$dir/clusters.parquet").collect().toSet
+    assert(rows2 == rows1)
+  }
+
+  test("pipeline arg parsing rejects missing/unpaired flags") {
+    intercept[IllegalArgumentException](Pipeline.parseArgs(Seq("--input-a")))
+    intercept[IllegalArgumentException](
+      Pipeline.parseArgs(Seq("--input-a", "x"))) // missing --config/--checkpoint
+  }
+}

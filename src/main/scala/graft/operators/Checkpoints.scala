@@ -77,6 +77,12 @@ object Checkpoints {
     * `root/<stage>` and is skipped on re-run. Stages: `gammas` (narrow pair
     * table), `patterns` (aggregated pattern counts), `matches`
     * (above-threshold pairs), `clusters` (connected components).
+    *
+    * Flat single-EM configs only: hierarchical comparison groups (staged
+    * child EMs binarized into parent gammas) and TF adjustment run through
+    * [[Linker.link]]'s full path, which this checkpointed flow does not
+    * reproduce — fail fast rather than silently flatten the config (wrong
+    * zetas with no error is the worst linkage failure mode).
     */
   def linkAndClusterResumable(
       dfA: DataFrame,
@@ -89,6 +95,13 @@ object Checkpoints {
       pairFilter: Option[org.apache.spark.sql.Column] = None,
       comparisonSpace: Option[(Long, Long) => Long] = None): DataFrame = {
     val spark = dfA.sparkSession
+    require(cfg.comparisons.children.isEmpty,
+      "linkAndClusterResumable runs flat configs; hierarchical comparison " +
+        "groups need the staged child EMs of Linker.link — running them " +
+        "flattened would silently change every zeta")
+    require(!cfg.comparisons.variables.exists(_.tfAdjust),
+      "linkAndClusterResumable does not apply term-frequency adjustment; " +
+        "use Linker.link for tf_adjust variables")
     val specs = cfg.comparisons.allVariables
     val varnames = specs.map(_.varname)
 

@@ -66,4 +66,20 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pipeline.parseArgs(Seq("--input-a", "x"))) // missing --config/--checkpoint
   }
+
+  test("resumable flow fails fast on configs it cannot run faithfully") {
+    import graft.config._
+    val df = spark.range(2).toDF("id")
+    val hier = MatchConfig("id", "id", comparisons = ComparisonGroup("p",
+      Seq(VariableSpec("a", "exact")),
+      children = Seq(ComparisonGroup("c", Seq(VariableSpec("b", "exact"))))))
+    val eHier = intercept[IllegalArgumentException](
+      Checkpoints.linkAndClusterResumable(df, df, hier, Nil, "/tmp/never"))
+    assert(eHier.getMessage.contains("hierarchical"))
+    val tf = MatchConfig("id", "id", comparisons = ComparisonGroup("p",
+      Seq(VariableSpec("a", "jarowinkler", tfAdjust = true))))
+    val eTf = intercept[IllegalArgumentException](
+      Checkpoints.linkAndClusterResumable(df, df, tf, Nil, "/tmp/never"))
+    assert(eTf.getMessage.contains("term-frequency"))
+  }
 }

@@ -26,9 +26,11 @@ import graft.operators.Checkpoints
   * stacked A UNION B (ids must be unique across the tables — enforced),
   * anything else links A x B. Omitting `--input-b` forces dedupe mode.
   *
-  * Every stage (gammas, patterns, matches, clusters) lands under the
-  * checkpoint root with a sidecar carrying row counts and per-partition
-  * lineage counters; a re-run after a crash skips complete stages. The final
+  * Every stage (gammas, patterns_&lt;stage&gt; per EM stage, matches, clusters)
+  * lands under the checkpoint root with a sidecar carrying row counts and
+  * per-partition lineage counters — hierarchical comparison groups and TF
+  * adjustment run through [[graft.operators.Linker.link]]'s full path; a
+  * re-run after a crash skips complete stages. The final
   * stdout line is one JSON object with per-stage metrics, which stages were
   * resumed vs computed, EM convergence, and wall time — machine-parseable
   * run evidence. Master/executors come from spark-submit (`--master`,
@@ -77,7 +79,7 @@ object Pipeline {
     val t0 = System.nanoTime()
     val cfg = MatchConfig.fromJson(Files.readString(Paths.get(args.configPath)))
     val dfA = spark.read.parquet(args.inputA)
-    val stages = Seq("gammas", "patterns", "matches", "clusters")
+    val stages = Checkpoints.stageNames(cfg)
     val resumed = stages.filter(Checkpoints.isComplete(args.checkpointRoot, _))
 
     def dedupeOf(df: DataFrame): DataFrame = {

@@ -26,20 +26,30 @@ object Checkpoints {
       writtenAtMs: Long)
 
   private def dir(root: String, stage: String) = s"$root/$stage"
-  private def metaPath(root: String, stage: String) = s"$root/$stage/_graft_meta.json"
+  private def metaAt(path: String) = s"$path/_graft_meta.json"
+  private def metaPath(root: String, stage: String) = metaAt(dir(root, stage))
+
+  /** A checkpoint directory is complete iff its sidecar exists — the sidecar
+    * is written strictly after the parquet commit, so a crash mid-write
+    * leaves the stage incomplete and it recomputes (mode=overwrite clears
+    * the partial output).
+    */
+  def isCompleteAt(path: String): Boolean = Files.exists(Paths.get(metaAt(path)))
 
   def isComplete(root: String, stage: String): Boolean =
-    Files.exists(Paths.get(metaPath(root, stage)))
+    isCompleteAt(dir(root, stage))
 
-  /** Returns the checkpointed stage if complete, else computes `df`, writes
-    * it + metadata, and returns the re-read (lineage-truncated) DataFrame.
+  /** Returns the checkpointed DataFrame at `path` if complete, else computes
+    * `df`, writes it + metadata, and returns the re-read (lineage-truncated)
+    * DataFrame. The stage name recorded in the sidecar is the last path
+    * segment.
     */
-  def materialize(spark: SparkSession, root: String, stage: String)(df: => DataFrame): DataFrame = {
-    if (!isComplete(root, stage)) {
+  def materializeAt(spark: SparkSession, path: String)(df: => DataFrame): DataFrame = {
+    if (!isCompleteAt(path)) {
       val d = df
-      d.write.mode("overwrite").parquet(dir(root, stage))
+      d.write.mode("overwrite").parquet(path)
       // per-partition lineage counters from the files just written
-      val written = spark.read.parquet(dir(root, stage))
+      val written = spark.read.parquet(path)
       val perPart = written
         .groupBy(spark_partition_id().as("pid"))
         .count()
@@ -47,6 +57,7 @@ object Checkpoints {
         .collect()
         .map(_.getLong(1))
         .toSeq
+      val stage = path.reverse.dropWhile(_ == '/').takeWhile(_ != '/').reverse
       val info = StageInfo(stage, perPart.sum, perPart.size, perPart,
         System.currentTimeMillis())
       val json =
@@ -54,10 +65,13 @@ object Checkpoints {
           s""""partitions":${info.partitions},""" +
           s""""per_partition_rows":[${info.perPartitionRows.mkString(",")}],""" +
           s""""written_at_ms":${info.writtenAtMs}}"""
-      Files.writeString(Paths.get(metaPath(root, stage)), json)
+      Files.writeString(Paths.get(metaAt(path)), json)
     }
-    spark.read.parquet(dir(root, stage))
+    spark.read.parquet(path)
   }
+
+  def materialize(spark: SparkSession, root: String, stage: String)(df: => DataFrame): DataFrame =
+    materializeAt(spark, dir(root, stage))(df)
 
   def readInfo(root: String, stage: String): Option[StageInfo] =
     if (!isComplete(root, stage)) None
@@ -73,16 +87,31 @@ object Checkpoints {
         grab("written_at_ms").getOrElse(0L)))
     }
 
-  /** Resumable end-to-end link-and-cluster: each stage lands in
-    * `root/<stage>` and is skipped on re-run. Stages: `gammas` (narrow pair
-    * table), `patterns` (aggregated pattern counts), `matches`
-    * (above-threshold pairs), `clusters` (connected components).
+  /** Stage names a given config produces under the checkpoint root, in
+    * pipeline order: the narrow gamma table, one pattern table per EM stage
+    * (children leaf-first, root last — [[Linker.link]]'s order), the
+    * above-threshold matches, and the clusters.
+    */
+  def stageNames(cfg: graft.config.MatchConfig): Seq[String] =
+    "gammas" +: cfg.stages.map(g => s"patterns_${g.name}") :+ "matches" :+ "clusters"
+
+  /** Resumable end-to-end link-and-cluster over [[Linker.link]]'s FULL path
+    * — hierarchical comparison groups (staged child EMs binarized into
+    * parent gammas) and term-frequency adjustment included. Each stage lands
+    * in `root/<stage>` with a lineage sidecar and is skipped on re-run:
     *
-    * Flat single-EM configs only: hierarchical comparison groups (staged
-    * child EMs binarized into parent gammas) and TF adjustment run through
-    * [[Linker.link]]'s full path, which this checkpointed flow does not
-    * reproduce — fail fast rather than silently flatten the config (wrong
-    * zetas with no error is the worst linkage failure mode).
+    *  - `gammas`: the narrow (ids + gammas [+ tf]) pair table — the pair
+    *    join and every comparator kernel run at most once per root.
+    *  - `patterns_<stage>`: each EM stage's aggregated pattern counts
+    *    (<= 4^k rows) — a resume re-runs the driver-side EM from these
+    *    without rescanning the pair table.
+    *  - `matches`: above-threshold pairs, scored by `final_zeta` when TF
+    *    adjustment ran (aliased to `zeta_j` for a stable output schema).
+    *  - `clusters`: connected components of the match graph.
+    *
+    * The EMs themselves recompute on every run — deterministic driver-side
+    * math over the checkpointed pattern counts, so a fully-checkpointed
+    * resume touches only tiny parquet + the row-scale input counts.
     */
   def linkAndClusterResumable(
       dfA: DataFrame,
@@ -95,37 +124,17 @@ object Checkpoints {
       pairFilter: Option[org.apache.spark.sql.Column] = None,
       comparisonSpace: Option[(Long, Long) => Long] = None): DataFrame = {
     val spark = dfA.sparkSession
-    require(cfg.comparisons.children.isEmpty,
-      "linkAndClusterResumable runs flat configs; hierarchical comparison " +
-        "groups need the staged child EMs of Linker.link — running them " +
-        "flattened would silently change every zeta")
-    require(!cfg.comparisons.variables.exists(_.tfAdjust),
-      "linkAndClusterResumable does not apply term-frequency adjustment; " +
-        "use Linker.link for tf_adjust variables")
-    val specs = cfg.comparisons.allVariables
-    val varnames = specs.map(_.varname)
-
-    val gammas = materialize(spark, root, "gammas") {
-      val pairs0 = Linker.buildPairs(dfA, dfB, cfg, specs, blockCols,
-        maxBlockRows, fanoutPartitions)
-      val pairs = pairFilter.fold(pairs0)(pairs0.filter)
-      Gamma.addGammaColumns(pairs, specs)
-        .select((Seq("id_a", "id_b") ++ varnames.map(Gamma.gammaColName)).map(col): _*)
-    }
-    val patternDf = materialize(spark, root, "patterns") {
-      Patterns.aggregate(gammas, varnames)
-    }
-    // comparisonSpace overrides nA*nB when a pairFilter shrank the space EM
-    // sees (dedupe's id_a < id_b cut => N(N-1)/2); EmLink uses only the
-    // product of dims, so the override rides in the first slot.
-    val rawDims = (dfA.count(), dfB.count())
-    val dims = comparisonSpace.fold(rawDims)(f => (f(rawDims._1, rawDims._2), 1L))
-    val em = EmLink.run(Patterns.collect(patternDf, varnames),
-      dims, varnames, cfg.comparisons.em)
+    val result = Linker.link(dfA, dfB, cfg, blockCols,
+      maxBlockRows = maxBlockRows,
+      persistPath = Some(dir(root, "gammas")),
+      fanoutPartitions = fanoutPartitions,
+      pairFilter = pairFilter,
+      comparisonSpace = comparisonSpace,
+      patternStage = (name, agg) => materialize(spark, root, s"patterns_$name")(agg()))
+    val scoreCol =
+      if (result.pairs.columns.contains("final_zeta")) "final_zeta" else "zeta_j"
     val matches = materialize(spark, root, "matches") {
-      Patterns.attach(gammas, Patterns.statsDf(spark, em), varnames)
-        .filter(col("zeta_j") >= cfg.comparisons.em.thresholdMatch)
-        .select("id_a", "id_b", "zeta_j")
+      result.matches().select(col("id_a"), col("id_b"), col(scoreCol).as("zeta_j"))
     }
     materialize(spark, root, "clusters") {
       ConnectedComponents.clusterPairs(matches.filter(col("id_a") < col("id_b")))

@@ -193,7 +193,8 @@ object Linker {
       persistPath: Option[String] = None,
       fanoutPartitions: Option[Int] = None,
       pairFilter: Option[Column] = None,
-      comparisonSpace: Option[(Long, Long) => Long] = None): LinkResult = {
+      comparisonSpace: Option[(Long, Long) => Long] = None,
+      patternStage: (String, () => DataFrame) => DataFrame = (_, agg) => agg()): LinkResult = {
     val spark = dfA.sparkSession
     val allSpecs = cfg.comparisons.allVariables
     // Input sizes (numberOfComparisons, lambda-prior scaling) are observed
@@ -208,9 +209,13 @@ object Linker {
     val obsA = org.apache.spark.sql.Observation()
     val obsB = org.apache.spark.sql.Observation()
 
-    var pairs = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows,
-      fanoutPartitions, Some(obsA), Some(obsB))
-    pairFilter.foreach(f => pairs = pairs.filter(f))
+    // RESUME: a complete narrow-gamma checkpoint at `persistPath` (lineage
+    // sidecar present — see Checkpoints) short-circuits the pair join and
+    // every comparator kernel; the narrow (ids + gammas [+ tf]) table is
+    // re-read instead. The EM/threshold stages below are identical either
+    // way — they only ever see the narrow table.
+    val resumedPath = if (persist) persistPath.filter(Checkpoints.isCompleteAt) else None
+
     lazy val dims: (Long, Long) = {
       // When a side is empty at runtime (e.g. an empty increment table),
       // AQE/optimizer empty-relation propagation can eliminate the observed
@@ -219,41 +224,52 @@ object Linker {
       // the extra job is trivial) instead of throwing key-not-found.
       def sideN(obs: org.apache.spark.sql.Observation, df: DataFrame): Long =
         obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(df.count())
-      val raw = (sideN(obsA, dfA), sideN(obsB, dfB))
+      val raw = resumedPath match {
+        // the observed join never executes on a resume — its Observation
+        // would block forever; the inputs' row counts are row-scale scans
+        case Some(_) => (dfA.count(), dfB.count())
+        case None    => (sideN(obsA, dfA), sideN(obsB, dfB))
+      }
       comparisonSpace.fold(raw)(f => (f(raw._1, raw._2), 1L))
     }
 
-    // gamma columns for every leaf variable (one codegen'd projection; the
-    // distinct-value rewrite is applied per variable where it pays)
-    val (rewriteSpecs, plainSpecs) = allSpecs.partition { s =>
-      s.distinctRewrite.getOrElse(
-        autoDistinctRewrite && s.isFuzzyString &&
-          Gamma.distinctRatio(pairs, s) < 0.25)
-    }
-    pairs = Gamma.addGammaColumns(pairs, plainSpecs)
-    pairs = rewriteSpecs.foldLeft(pairs)((p, s) => Gamma.addGammaColumnDistinct(p, s))
+    var pairs: DataFrame = resumedPath match {
+      case Some(done) => spark.read.parquet(done)
+      case None =>
+        var ps = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows,
+          fanoutPartitions, Some(obsA), Some(obsB))
+        pairFilter.foreach(f => ps = ps.filter(f))
 
-    // Drop the compared columns and materialize (ids + gammas [+ tf]) — the
-    // Spark analogue of the reference's DiBitMatrix + drop-column-after-
-    // kernel discipline (fastlink.jl:109-113): comparisons run exactly once,
-    // and the EM/threshold passes re-read a narrow columnar table (bytes per
-    // pair) instead of re-running the join + kernels. Default: in-memory
-    // columnar cache (spills to disk); with `persistPath` the table lands in
-    // Parquet instead and doubles as the resumable stage checkpoint
-    // (see Checkpoints for the full resume flow).
-    if (persist) {
-      val keep = Seq("id_a", "id_b") ++
-        allSpecs.map(s => Gamma.gammaColName(s.varname)) ++
-        allSpecs.filter(_.tfAdjust).flatMap(s =>
-          Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)))
-      val narrow = pairs.select(keep.map(col): _*)
-      pairs = persistPath match {
-        case Some(dir) =>
-          narrow.write.mode("overwrite").parquet(dir)
-          spark.read.parquet(dir)
-        case None =>
-          narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
+        // gamma columns for every leaf variable (one codegen'd projection;
+        // the distinct-value rewrite is applied per variable where it pays)
+        val (rewriteSpecs, plainSpecs) = allSpecs.partition { s =>
+          s.distinctRewrite.getOrElse(
+            autoDistinctRewrite && s.isFuzzyString &&
+              Gamma.distinctRatio(ps, s) < 0.25)
+        }
+        ps = Gamma.addGammaColumns(ps, plainSpecs)
+        ps = rewriteSpecs.foldLeft(ps)((p, s) => Gamma.addGammaColumnDistinct(p, s))
+
+        // Drop the compared columns and materialize (ids + gammas [+ tf]) —
+        // the Spark analogue of the reference's DiBitMatrix + drop-column-
+        // after-kernel discipline (fastlink.jl:109-113): comparisons run
+        // exactly once, and the EM/threshold passes re-read a narrow
+        // columnar table (bytes per pair) instead of re-running the join +
+        // kernels. Default: in-memory columnar cache (spills to disk); with
+        // `persistPath` the table lands in Parquet with a lineage sidecar
+        // instead, doubling as the resumable stage checkpoint.
+        if (persist) {
+          val keep = Seq("id_a", "id_b") ++
+            allSpecs.map(s => Gamma.gammaColName(s.varname)) ++
+            allSpecs.filter(_.tfAdjust).flatMap(s =>
+              Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)))
+          val narrow = ps.select(keep.map(col): _*)
+          persistPath match {
+            case Some(dir) => Checkpoints.materializeAt(spark, dir)(narrow)
+            case None =>
+              narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          }
+        } else ps
     }
 
     // leaf-first stages (reference H1-H3)
@@ -261,8 +277,11 @@ object Linker {
     val childResults = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     stages.dropRight(1).foreach { g =>
       val vars = effectiveVarnames(g)
-      val em = EmLink.run(Patterns.collect(Patterns.aggregate(pairs, vars), vars),
-        dims, vars, g.em)
+      val patternDf = {
+        val p = pairs // freeze the var for the deferred aggregate
+        patternStage(g.name, () => Patterns.aggregate(p, vars))
+      }
+      val em = EmLink.run(Patterns.collect(patternDf, vars), dims, vars, g.em)
       childResults += StageResult(g, em)
       // Non-final threshold uses sigmoid(weight), NOT zeta (reference
       // `get_match_patternids` via bf_to_probability, patterns.jl:143-153,:200)
@@ -289,9 +308,12 @@ object Linker {
     // final (root) stage
     val root = stages.last
     val rootVars = effectiveVarnames(root)
+    val rootPatternDf = {
+      val p = pairs
+      patternStage(root.name, () => Patterns.aggregate(p, rootVars))
+    }
     val emFinal = EmLink.run(
-      Patterns.collect(Patterns.aggregate(pairs, rootVars), rootVars),
-      dims, rootVars, root.em)
+      Patterns.collect(rootPatternDf, rootVars), dims, rootVars, root.em)
     val stats = Patterns.statsDf(spark, emFinal)
     var annotated = Patterns.attach(pairs, stats, rootVars)
 

@@ -49,8 +49,9 @@ class CheckpointsSpec extends SparkSpec {
       side("ida"), side("idb"), cfg, Seq("block"), root)
     val n1 = clusters.count()
     assert(n1 > 0)
-    assert(Seq("gammas", "patterns", "matches", "clusters")
-      .forall(Checkpoints.isComplete(root, _)))
+    assert(Checkpoints.stageNames(cfg) ==
+      Seq("gammas", "patterns_web", "matches", "clusters"))
+    assert(Checkpoints.stageNames(cfg).forall(Checkpoints.isComplete(root, _)))
     // simulate a crash after the gamma stage: delete downstream checkpoints
     def rmStage(s: String): Unit = {
       val d = Paths.get(s"$root/$s")
@@ -64,5 +65,47 @@ class CheckpointsSpec extends SparkSpec {
     // gamma lineage metadata survived the resume untouched
     assert(Checkpoints.readInfo(root, "gammas").get.rows ==
       Checkpoints.readInfo(root, "gammas").get.perPartitionRows.sum)
+  }
+
+  test("hierarchical + TF configs run and resume through the full link path") {
+    val root = tmpRoot()
+    val pages = WebCorpus.pages(spark,
+      WebCorpus.Params(nBase = 300, dupFraction = 0.3, nHosts = 8))
+      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
+    val cfg = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("total",
+        Seq(VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88,
+          tfAdjust = true)),
+        children = Seq(ComparisonGroup("shape",
+          Seq(VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3)),
+          em = EmOptions(thresholdMatch = 0.9)))))
+    assert(Checkpoints.stageNames(cfg) ==
+      Seq("gammas", "patterns_shape", "patterns_total", "matches", "clusters"))
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"),
+      col("n_tokens"), col("block"))
+
+    val clusters = Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), root)
+    val n1 = clusters.count()
+    assert(n1 > 0)
+    assert(Checkpoints.stageNames(cfg).forall(Checkpoints.isComplete(root, _)))
+    // checkpointed match set == the direct (un-checkpointed) Linker.link
+    // path, which scores by final_zeta because TF adjustment ran
+    val direct = Linker.link(side("ida"), side("idb"), cfg, Seq("block"))
+    assert(direct.pairs.columns.contains("final_zeta"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(pairSet(spark.read.parquet(s"$root/matches")) == pairSet(direct.matches()))
+
+    // full resume with a POISONED title column: every stage checkpoint is
+    // complete, so the inputs are touched only for row counts — identical
+    // output proves the pair join + comparators never re-ran
+    val resumed = Checkpoints.linkAndClusterResumable(
+      side("ida").withColumn("title", lit("POISON")), side("idb"),
+      cfg, Seq("block"), root)
+    assert(resumed.count() == n1)
   }
 }

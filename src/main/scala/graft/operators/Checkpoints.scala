@@ -124,6 +124,13 @@ object Checkpoints {
       pairFilter: Option[org.apache.spark.sql.Column] = None,
       comparisonSpace: Option[(Long, Long) => Long] = None): DataFrame = {
     val spark = dfA.sparkSession
+    // stage names double as checkpoint directory names — a config with two
+    // comparison groups sharing a name would resume one stage's EM from the
+    // other's pattern table with no error
+    val names = stageNames(cfg)
+    require(names.distinct == names,
+      s"comparison group names must be unique (checkpoint stages collide): " +
+        names.diff(names.distinct).distinct.mkString(", "))
     val result = Linker.link(dfA, dfB, cfg, blockCols,
       maxBlockRows = maxBlockRows,
       persistPath = Some(dir(root, "gammas")),

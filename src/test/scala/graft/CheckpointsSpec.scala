@@ -67,6 +67,16 @@ class CheckpointsSpec extends SparkSpec {
       Checkpoints.readInfo(root, "gammas").get.perPartitionRows.sum)
   }
 
+  test("colliding comparison-group names are rejected (checkpoint stages collide)") {
+    val df = spark.range(2).toDF("id")
+    val cfg = MatchConfig("id", "id", comparisons = ComparisonGroup("p",
+      Seq(VariableSpec("a", "exact")),
+      children = Seq(ComparisonGroup("p", Seq(VariableSpec("b", "exact"))))))
+    val e = intercept[IllegalArgumentException](
+      Checkpoints.linkAndClusterResumable(df, df, cfg, Nil, "/tmp/never"))
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("hierarchical + TF configs run and resume through the full link path") {
     val root = tmpRoot()
     val pages = WebCorpus.pages(spark,

@@ -97,21 +97,30 @@ object Pipeline {
         comparisonSpace = Some((n, _) => n * (n - 1) / 2))
     }
 
+    // The clusters output mixes both inputs' id values as graph nodes, so
+    // every two-table mode needs id domains disjoint across the inputs — a
+    // shared value would silently merge two unrelated entities.
+    def requireDisjointIds(b: DataFrame, bIdCol: String, mode: String): Unit = {
+      val shared = dfA.select(col(cfg.idA).as("__id"))
+        .join(b.select(col(bIdCol).as("__id")), Seq("__id"), "left_semi")
+        .limit(1).collect()
+      require(shared.isEmpty,
+        s"$mode requires id values unique ACROSS the inputs, " +
+          s"but both contain id=${shared.headOption.map(_.get(0)).orNull}")
+    }
+
     val clusters = (cfg.linkType, args.inputB) match {
       case ("dedupe_only", _) | (_, None) => dedupeOf(dfA)
       case ("link_and_dedupe", Some(pathB)) =>
         val dfB = spark.read.parquet(pathB)
         val bAligned =
           if (cfg.idA == cfg.idB) dfB else dfB.withColumnRenamed(cfg.idB, cfg.idA)
-        val shared = dfA.select(col(cfg.idA))
-          .join(bAligned.select(col(cfg.idA)), Seq(cfg.idA), "left_semi")
-          .limit(1).collect()
-        require(shared.isEmpty,
-          s"link_and_dedupe requires id values unique ACROSS the inputs, " +
-            s"but both contain ${cfg.idA}=${shared.headOption.map(_.get(0)).orNull}")
+        requireDisjointIds(bAligned, cfg.idA, "link_and_dedupe")
         dedupeOf(dfA.unionByName(bAligned))
       case (_, Some(pathB)) =>
-        Checkpoints.linkAndClusterResumable(dfA, spark.read.parquet(pathB),
+        val dfB = spark.read.parquet(pathB)
+        requireDisjointIds(dfB, cfg.idB, s"link clustering (${cfg.linkType})")
+        Checkpoints.linkAndClusterResumable(dfA, dfB,
           cfg, args.blockCols, args.checkpointRoot, args.maxBlockRows,
           args.fanout)
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,12 +30,40 @@ object Checkpoints {
   private def metaAt(path: String) = s"$path/_graft_meta.json"
   private def metaPath(root: String, stage: String) = metaAt(dir(root, stage))
 
+  // Sidecar I/O goes through the Hadoop FileSystem of the checkpoint path —
+  // the root can be HDFS/object-store (the cluster deployment the Pipeline
+  // CLI advertises), where java.nio would silently resolve to a bogus
+  // driver-local path.
+  private def hconf() =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private[operators] def fileExists(path: String): Boolean = {
+    val p = new HPath(path)
+    p.getFileSystem(hconf()).exists(p)
+  }
+
+  private[operators] def readFile(path: String): String = {
+    val p = new HPath(path)
+    val in = p.getFileSystem(hconf()).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private[operators] def writeFile(path: String, content: String): Unit = {
+    val p = new HPath(path)
+    val out = p.getFileSystem(hconf()).create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** A checkpoint directory is complete iff its sidecar exists — the sidecar
     * is written strictly after the parquet commit, so a crash mid-write
     * leaves the stage incomplete and it recomputes (mode=overwrite clears
     * the partial output).
     */
-  def isCompleteAt(path: String): Boolean = Files.exists(Paths.get(metaAt(path)))
+  def isCompleteAt(path: String): Boolean = fileExists(metaAt(path))
 
   def isComplete(root: String, stage: String): Boolean =
     isCompleteAt(dir(root, stage))
@@ -65,7 +94,7 @@ object Checkpoints {
           s""""partitions":${info.partitions},""" +
           s""""per_partition_rows":[${info.perPartitionRows.mkString(",")}],""" +
           s""""written_at_ms":${info.writtenAtMs}}"""
-      Files.writeString(Paths.get(metaAt(path)), json)
+      writeFile(metaAt(path), json)
     }
     spark.read.parquet(path)
   }
@@ -76,7 +105,7 @@ object Checkpoints {
   def readInfo(root: String, stage: String): Option[StageInfo] =
     if (!isComplete(root, stage)) None
     else {
-      val json = Files.readString(Paths.get(metaPath(root, stage)))
+      val json = readFile(metaPath(root, stage))
       def grab(k: String) = s""""$k":([0-9]+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
       val parts = s""""per_partition_rows":\\[([0-9,]*)\\]""".r
         .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
@@ -138,13 +167,15 @@ object Checkpoints {
       pairFilter = pairFilter,
       comparisonSpace = comparisonSpace,
       patternStage = (name, agg) => materialize(spark, root, s"patterns_$name")(agg()))
-    val scoreCol =
-      if (result.pairs.columns.contains("final_zeta")) "final_zeta" else "zeta_j"
     val matches = materialize(spark, root, "matches") {
-      result.matches().select(col("id_a"), col("id_b"), col(scoreCol).as("zeta_j"))
+      result.matches().select(col("id_a"), col("id_b"),
+        col(result.scoreColName).as("zeta_j"))
     }
     materialize(spark, root, "clusters") {
-      ConnectedComponents.clusterPairs(matches.filter(col("id_a") < col("id_b")))
+      // every matched pair is an edge — clusterPairs normalizes direction,
+      // self-loops, and duplicates itself; filtering id_a < id_b here would
+      // silently drop link-mode edges whose A-id happens to exceed its B-id
+      ConnectedComponents.clusterPairs(matches)
     }
   }
 }

@@ -37,15 +37,19 @@ object Linker {
       patternStats: DataFrame, // tiny: gamma cols + pattern_id/counts/weights/zeta_j
       pairs: DataFrame) { // id_a, id_b, gammas, zeta_j [, final_zeta]
 
+    /** The column `matches` thresholds on: the pair-level `final_zeta` when
+      * TF adjustment ran, else the pattern-level `zeta_j`.
+      */
+    def scoreColName: String =
+      if (pairs.columns.contains("final_zeta")) "final_zeta" else "zeta_j"
+
     /** Reference `getMatches` (`/root/reference/src/getMatches.jl:6-14`):
       * pairs in patterns with zeta >= threshold. When TF adjustment ran,
       * the pair-level `final_zeta` is used instead of the pattern zeta.
       */
     def matches(threshold: Option[Double] = None): DataFrame = {
       val t = threshold.getOrElse(em.thresholdMatch)
-      val scoreCol =
-        if (pairs.columns.contains("final_zeta")) col("final_zeta") else col("zeta_j")
-      pairs.filter(scoreCol >= t)
+      pairs.filter(col(scoreColName) >= t)
     }
 
     /** Reference `tf_adj_table`
@@ -182,6 +186,26 @@ object Linker {
   def effectiveVarnames(g: ComparisonGroup): Seq[String] =
     g.variables.map(_.varname) ++ g.children.map(_.name)
 
+  private def linkMetaAt(dir: String) = s"$dir/_graft_link.json"
+
+  /** Deterministic fingerprint of everything that shapes the narrow gamma
+    * checkpoint's content besides the input rows themselves: the full config
+    * tree, blocking keys, salting cap, and pair filter. Stored in the
+    * checkpoint's link sidecar; a resume against a different fingerprint
+    * fails fast instead of silently serving stale gammas. (`comparisonSpace`
+    * needs no slot — its effect rides through the stored dims.)
+    */
+  private def checkpointFingerprint(
+      cfg: MatchConfig,
+      blockCols: Seq[String],
+      maxBlockRows: Option[Long],
+      pairFilter: Option[Column]): String = {
+    val repr = Seq(cfg.toString, blockCols.mkString(","), maxBlockRows.toString,
+      pairFilter.map(_.toString).toString).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def link(
       dfA: DataFrame,
       dfB: DataFrame,
@@ -215,22 +239,45 @@ object Linker {
     // re-read instead. The EM/threshold stages below are identical either
     // way — they only ever see the narrow table.
     val resumedPath = if (persist) persistPath.filter(Checkpoints.isCompleteAt) else None
-
-    lazy val dims: (Long, Long) = {
-      // When a side is empty at runtime (e.g. an empty increment table),
-      // AQE/optimizer empty-relation propagation can eliminate the observed
-      // scan's CollectMetrics node and the observation resolves with no "n"
-      // key; fall back to an eager count of that side (degenerate input, so
-      // the extra job is trivial) instead of throwing key-not-found.
-      def sideN(obs: org.apache.spark.sql.Observation, df: DataFrame): Long =
-        obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(df.count())
-      val raw = resumedPath match {
-        // the observed join never executes on a resume — its Observation
-        // would block forever; the inputs' row counts are row-scale scans
-        case Some(_) => (dfA.count(), dfB.count())
-        case None    => (sideN(obsA, dfA), sideN(obsB, dfB))
+    val fp = checkpointFingerprint(cfg, blockCols, maxBlockRows, pairFilter)
+    // link sidecar of a resumed checkpoint: config fingerprint (validated)
+    // + the comparison-space dims pinned at write time, so a resume stays
+    // EM-consistent with the checkpointed pattern counts even if the input
+    // tables drifted since the original run
+    val storedMeta: Option[(String, Long, Long)] = resumedPath
+      .map(linkMetaAt).filter(Checkpoints.fileExists).map { p =>
+        val json = Checkpoints.readFile(p)
+        def grab(k: String) =
+          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+        val f = """"fingerprint":"([0-9a-f]+)"""".r.findFirstMatchIn(json)
+          .map(_.group(1)).getOrElse("")
+        (f, grab("dims_a").getOrElse(-1L), grab("dims_b").getOrElse(-1L))
       }
-      comparisonSpace.fold(raw)(f => (f(raw._1, raw._2), 1L))
+    storedMeta.foreach { case (storedFp, _, _) =>
+      if (storedFp != fp) throw new IllegalStateException(
+        s"gamma checkpoint at ${persistPath.get} was written by a DIFFERENT link " +
+          "configuration (config / blocking / salting / pair-filter fingerprint " +
+          "mismatch) — resuming would silently serve stale comparisons; clear the " +
+          "checkpoint directory or rerun with the original configuration")
+    }
+
+    lazy val dims: (Long, Long) = storedMeta match {
+      case Some((_, a, b)) if a >= 0 => (a, b)
+      case _ =>
+        // When a side is empty at runtime (e.g. an empty increment table),
+        // AQE/optimizer empty-relation propagation can eliminate the observed
+        // scan's CollectMetrics node and the observation resolves with no "n"
+        // key; fall back to an eager count of that side (degenerate input, so
+        // the extra job is trivial) instead of throwing key-not-found.
+        def sideN(obs: org.apache.spark.sql.Observation, df: DataFrame): Long =
+          obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(df.count())
+        val raw = resumedPath match {
+          // the observed join never executes on a resume — its Observation
+          // would block forever; the inputs' row counts are row-scale scans
+          case Some(_) => (dfA.count(), dfB.count())
+          case None    => (sideN(obsA, dfA), sideN(obsB, dfB))
+        }
+        comparisonSpace.fold(raw)(f => (f(raw._1, raw._2), 1L))
     }
 
     var pairs: DataFrame = resumedPath match {
@@ -265,7 +312,13 @@ object Linker {
               Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)))
           val narrow = ps.select(keep.map(col): _*)
           persistPath match {
-            case Some(dir) => Checkpoints.materializeAt(spark, dir)(narrow)
+            case Some(dir) =>
+              val written = Checkpoints.materializeAt(spark, dir)(narrow)
+              // the write action above resolved the side observations; pin
+              // the fingerprint + comparison-space dims beside the data
+              Checkpoints.writeFile(linkMetaAt(dir),
+                s"""{"fingerprint":"$fp","dims_a":${dims._1},"dims_b":${dims._2}}""")
+              written
             case None =>
               narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           }

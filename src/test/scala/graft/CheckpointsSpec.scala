@@ -67,6 +67,92 @@ class CheckpointsSpec extends SparkSpec {
       Checkpoints.readInfo(root, "gammas").get.perPartitionRows.sum)
   }
 
+  private def rmStageAt(root: String, s: String): Unit = {
+    val d = Paths.get(s"$root/$s")
+    Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+  }
+
+  private def webPages(n: Int) =
+    WebCorpus.pages(spark, WebCorpus.Params(nBase = n, dupFraction = 0.3, nHosts = 10))
+      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
+
+  test("resume fails fast on a gamma checkpoint from a different configuration") {
+    val root = tmpRoot()
+    val pages = webPages(200)
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"),
+      col("n_tokens"), col("block"))
+    def cfgWith(cutA: Double) = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = cutA, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    assert(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfgWith(0.92), Seq("block"), root).count() > 0)
+    // downstream stages gone, gamma checkpoint kept — but the comparator
+    // cut changed, so the stored gammas are stale for the new config
+    Seq("patterns_web", "matches", "clusters").foreach(rmStageAt(root, _))
+    val e = intercept[IllegalStateException](Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfgWith(0.95), Seq("block"), root))
+    assert(e.getMessage.contains("DIFFERENT link configuration"))
+    // the original config still resumes cleanly
+    assert(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfgWith(0.92), Seq("block"), root).count() > 0)
+  }
+
+  test("gamma-stage resume pins comparison-space dims from the link sidecar") {
+    val root = tmpRoot()
+    val pages = webPages(400)
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"),
+      col("n_tokens"), col("block"))
+    val cfg = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    Checkpoints.linkAndClusterResumable(side("ida"), side("idb"), cfg,
+      Seq("block"), root).count()
+    val matches1 = spark.read.parquet(s"$root/matches").collect()
+      .map(r => (r.get(0), r.get(1), r.getDouble(2))).toSet
+    // crash after the gamma stage, then resume with a DRIFTED input (1/4 the
+    // rows): the EM must re-run against the dims pinned at write time, not a
+    // re-count of the drifted side, or the lambda prior (and every zeta)
+    // silently shifts relative to the checkpointed pattern counts
+    Seq("patterns_web", "matches", "clusters").foreach(rmStageAt(root, _))
+    Checkpoints.linkAndClusterResumable(side("ida").limit(100), side("idb"),
+      cfg, Seq("block"), root).count()
+    val matches2 = spark.read.parquet(s"$root/matches").collect()
+      .map(r => (r.get(0), r.get(1), r.getDouble(2))).toSet
+    assert(matches2 == matches1)
+  }
+
+  test("link-mode matched pairs with id_a > id_b survive into clusters") {
+    val root = tmpRoot()
+    val pages = webPages(200)
+    // A-side ids offset far above every B-side id: each record's twin pair
+    // has id_a > id_b, which a naive id_a < id_b edge cut (the dedupe-mode
+    // convention) would drop wholesale
+    val off = 10000000000L // page_id < nBase * 1e6, so domains are disjoint
+    val a = pages.select((col("page_id") + off).as("ida"), col("title"),
+      col("n_tokens"), col("block"))
+    val b = pages.select(col("page_id").as("idb"), col("title"),
+      col("n_tokens"), col("block"))
+    val cfg = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    val clusters = Checkpoints.linkAndClusterResumable(a, b, cfg, Seq("block"), root)
+    val byComponent = clusters.collect()
+      .groupBy(_.getAs[Long]("component"))
+      .view.mapValues(_.map(_.getAs[Long]("node")).toSet).toMap
+    // every record matches its own twin, so mixed A/B components must exist
+    assert(byComponent.nonEmpty)
+    assert(byComponent.values.exists(ns => ns.exists(_ >= off) && ns.exists(_ < off)))
+  }
+
   test("colliding comparison-group names are rejected (checkpoint stages collide)") {
     val df = spark.range(2).toDF("id")
     val cfg = MatchConfig("id", "id", comparisons = ComparisonGroup("p",

@@ -61,6 +61,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows2 == rows1)
   }
 
+  test("plain link mode fails fast when the two inputs share id values") {
+    val dir = Files.createTempDirectory("graft-pipe-ids").toString
+    val pages = WebCorpus.pages(spark, WebCorpus.Params(nBase = 50, dupFraction = 0.2, nHosts = 5))
+      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
+      .select("page_id", "title", "n_tokens", "block")
+    pages.write.parquet(s"$dir/a.parquet")
+    pages.write.parquet(s"$dir/b.parquet") // identical id domain
+    val cfgPath = s"$dir/config.json"
+    Files.writeString(Paths.get(cfgPath),
+      """{"idvar": ["page_id", "page_id"],
+        | "link_type": "link_only",
+        | "comparisons": {"name": "web",
+        |   "threshold_match": 0.85,
+        |   "variables": [
+        |     {"varname": "title", "method": "jarowinkler", "cut_a": 0.92, "cut_b": 0.88}]}}""".stripMargin)
+    val args = Pipeline.parseArgs(Seq(
+      "--input-a", s"$dir/a.parquet",
+      "--input-b", s"$dir/b.parquet",
+      "--config", cfgPath,
+      "--block", "block",
+      "--checkpoint", s"$dir/ckpt"))
+    val e = intercept[IllegalArgumentException](Pipeline.run(spark, args))
+    assert(e.getMessage.contains("unique ACROSS"))
+  }
+
   test("pipeline arg parsing rejects missing/unpaired flags") {
     intercept[IllegalArgumentException](Pipeline.parseArgs(Seq("--input-a")))
     intercept[IllegalArgumentException](

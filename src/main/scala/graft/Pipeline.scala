@@ -16,8 +16,15 @@ import graft.operators.Checkpoints
   *   --config fastlink_config.json \
   *   --block host,lang \
   *   --checkpoint s3://bucket/ckpt/run1 \
-  *   [--out /data/clusters.parquet] [--max-block-rows 1000] [--fanout 256]
+  *   [--out /data/clusters.parquet] [--max-block-rows 1000] [--fanout 256] \
+  *   [--increment /data/pages_day2.parquet]
   * }}}
+  *
+  * `--increment` (dedupe mode only) extends the previous run's gamma
+  * checkpoint with the increment's pairs (increment x corpus +
+  * increment-internal) instead of recomputing the corpus pair space — the
+  * daily-crawl shape; see
+  * [[graft.operators.Checkpoints.appendDedupeIncrement]] for the guards.
   *
   * The config is the reference's JSON shape verbatim
   * (`/root/reference/test_parameters.json`); `link_type` dispatches exactly
@@ -47,7 +54,8 @@ object Pipeline {
       checkpointRoot: String,
       out: Option[String],
       maxBlockRows: Option[Long],
-      fanout: Option[Int])
+      fanout: Option[Int],
+      increment: Option[String] = None)
 
   def parseArgs(argv: Seq[String]): Args = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -69,7 +77,8 @@ object Pipeline {
       checkpointRoot = req("checkpoint"),
       out = m.get("out"),
       maxBlockRows = m.get("max-block-rows").map(_.toLong),
-      fanout = m.get("fanout").map(_.toInt))
+      fanout = m.get("fanout").map(_.toInt),
+      increment = m.get("increment"))
   }
 
   /** Runs the pipeline; returns the JSON summary line. Separated from
@@ -78,23 +87,40 @@ object Pipeline {
   def run(spark: SparkSession, args: Args): String = {
     val t0 = System.nanoTime()
     val cfg = MatchConfig.fromJson(Files.readString(Paths.get(args.configPath)))
+    require(args.increment.isEmpty || cfg.linkType == "dedupe_only" || args.inputB.isEmpty,
+      "--increment is only supported in dedupe mode (link_type=dedupe_only " +
+        "or no --input-b)")
     val dfA = spark.read.parquet(args.inputA)
     val stages = Checkpoints.stageNames(cfg)
     val resumed = stages.filter(Checkpoints.isComplete(args.checkpointRoot, _))
 
-    def dedupeOf(df: DataFrame): DataFrame = {
-      // self-link with reconciled id names; each unordered pair once and the
-      // comparison space EM scales against is N(N-1)/2 — see FastLink.dedupe
+    def requireIdCol(df: DataFrame): Unit =
       require(df.columns.contains(cfg.idA),
         s"id column '${cfg.idA}' (config idvar) not present in the input: " +
           df.columns.mkString(", "))
-      val a = df.withColumnRenamed(cfg.idA, "__ida")
-      val b = df.withColumnRenamed(cfg.idA, "__idb")
-      Checkpoints.linkAndClusterResumable(a, b,
-        cfg.copy(idA = "__ida", idB = "__idb"), args.blockCols,
-        args.checkpointRoot, args.maxBlockRows, args.fanout,
-        pairFilter = Some(col("id_a") < col("id_b")),
-        comparisonSpace = Some((n, _) => n * (n - 1) / 2))
+
+    def dedupeOf(df: DataFrame): DataFrame = {
+      // self-link with reconciled id names; each unordered pair once and the
+      // comparison space EM scales against is N(N-1)/2 — see FastLink.dedupe
+      requireIdCol(df)
+      args.increment match {
+        case Some(incPath) =>
+          // incremental dedupe: extend the existing gamma checkpoint with
+          // the increment's pairs only — the corpus pair space is never
+          // recomputed (Checkpoints.appendDedupeIncrement validates the
+          // config fingerprint, corpus size, and id disjointness)
+          Checkpoints.appendDedupeIncrement(df, spark.read.parquet(incPath),
+            cfg.idA, cfg.copy(idA = "__ida", idB = "__idb"), args.blockCols,
+            args.checkpointRoot, args.maxBlockRows, args.fanout)
+        case None =>
+          val a = df.withColumnRenamed(cfg.idA, "__ida")
+          val b = df.withColumnRenamed(cfg.idA, "__idb")
+          Checkpoints.linkAndClusterResumable(a, b,
+            cfg.copy(idA = "__ida", idB = "__idb"), args.blockCols,
+            args.checkpointRoot, args.maxBlockRows, args.fanout,
+            pairFilter = Some(Checkpoints.dedupePairFilter),
+            comparisonSpace = Some(Checkpoints.dedupeComparisonSpace))
+      }
     }
 
     // The clusters output mixes both inputs' id values as graph nodes, so
@@ -134,6 +160,7 @@ object Pipeline {
     }.mkString("{", ",", "}")
     val sec = (System.nanoTime() - t0) / 1e9
     s"""{"link_type":"${cfg.linkType}","stages":$stageJson,""" +
+      s""""increment":${args.increment.map("\"" + _ + "\"").getOrElse("null")},""" +
       s""""resumed_stages":${resumed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""out":${args.out.map("\"" + _ + "\"").getOrElse("null")},""" +
       f""""sec":$sec%.2f}"""

@@ -58,6 +58,12 @@ object Checkpoints {
     finally out.close()
   }
 
+  private[operators] def deleteRecursive(path: String): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(hconf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** A checkpoint directory is complete iff its sidecar exists — the sidecar
     * is written strictly after the parquet commit, so a crash mid-write
     * leaves the stage incomplete and it recomputes (mode=overwrite clears
@@ -73,28 +79,36 @@ object Checkpoints {
     * DataFrame. The stage name recorded in the sidecar is the last path
     * segment.
     */
+  /** Recomputes the per-partition lineage counters from the parquet files at
+    * `path` and writes the stage sidecar — the step that flips a checkpoint
+    * to complete.
+    */
+  private def writeMetaFor(spark: SparkSession, path: String): StageInfo = {
+    val written = spark.read.parquet(path)
+    val perPart = written
+      .groupBy(spark_partition_id().as("pid"))
+      .count()
+      .orderBy("pid")
+      .collect()
+      .map(_.getLong(1))
+      .toSeq
+    val stage = path.reverse.dropWhile(_ == '/').takeWhile(_ != '/').reverse
+    val info = StageInfo(stage, perPart.sum, perPart.size, perPart,
+      System.currentTimeMillis())
+    val json =
+      s"""{"stage":"${info.stage}","rows":${info.rows},""" +
+        s""""partitions":${info.partitions},""" +
+        s""""per_partition_rows":[${info.perPartitionRows.mkString(",")}],""" +
+        s""""written_at_ms":${info.writtenAtMs}}"""
+    writeFile(metaAt(path), json)
+    info
+  }
+
   def materializeAt(spark: SparkSession, path: String)(df: => DataFrame): DataFrame = {
     if (!isCompleteAt(path)) {
       val d = df
       d.write.mode("overwrite").parquet(path)
-      // per-partition lineage counters from the files just written
-      val written = spark.read.parquet(path)
-      val perPart = written
-        .groupBy(spark_partition_id().as("pid"))
-        .count()
-        .orderBy("pid")
-        .collect()
-        .map(_.getLong(1))
-        .toSeq
-      val stage = path.reverse.dropWhile(_ == '/').takeWhile(_ != '/').reverse
-      val info = StageInfo(stage, perPart.sum, perPart.size, perPart,
-        System.currentTimeMillis())
-      val json =
-        s"""{"stage":"${info.stage}","rows":${info.rows},""" +
-          s""""partitions":${info.partitions},""" +
-          s""""per_partition_rows":[${info.perPartitionRows.mkString(",")}],""" +
-          s""""written_at_ms":${info.writtenAtMs}}"""
-      writeFile(metaAt(path), json)
+      writeMetaFor(spark, path)
     }
     spark.read.parquet(path)
   }
@@ -177,5 +191,119 @@ object Checkpoints {
       // silently drop link-mode edges whose A-id happens to exceed its B-id
       ConnectedComponents.clusterPairs(matches)
     }
+  }
+
+  /** The dedupe-mode pair conventions shared by [[graft.Pipeline]] and the
+    * incremental append: each unordered pair once, comparison space
+    * N(N-1)/2.
+    */
+  def dedupePairFilter: org.apache.spark.sql.Column = col("id_a") < col("id_b")
+  def dedupeComparisonSpace: (Long, Long) => Long = (n, _) => n * (n - 1) / 2
+
+  /** Incremental dedupe: extends a completed `gammas` checkpoint (a
+    * dedupe-mode run over `corpus`) with the pairs a new `increment` adds —
+    * increment x corpus plus increment-internal — WITHOUT recomputing the
+    * corpus's own quadratic pair space, then re-runs the cheap downstream
+    * stages (pattern counts, EM, threshold, clustering) over the combined
+    * pair table. The result is IDENTICAL to a from-scratch dedupe of
+    * corpus UNION increment (same pair multiset, same pinned comparison
+    * space, same deterministic EM) at the incremental cost — the shape a
+    * daily web-crawl increment needs at 10^12-document scale, where the
+    * corpus pair space dwarfs the increment's.
+    *
+    * Contract and guards:
+    *  - `cfg` must be the EXACT configuration of the checkpointed run
+    *    (validated against the stored fingerprint — config, blocking,
+    *    salting cap, and the standard dedupe pair filter).
+    *  - the checkpoint's pinned comparison space must equal
+    *    nCorpus*(nCorpus-1)/2 — a drifted corpus fails fast.
+    *  - increment ids must be disjoint from corpus ids (enforced).
+    *  - TF-adjusted configs are rejected: TF denominators are corpus-wide
+    *    frequencies, which an append would silently leave stale.
+    *
+    * Crash safety: the stage sidecar is deleted BEFORE the parquet append
+    * and rewritten (with recomputed lineage counters) after it, so a crash
+    * mid-append leaves the stage incomplete and the next run recomputes it
+    * from scratch (`materializeAt`'s overwrite clears the partial mix).
+    *
+    * `idCol` names the id column in both input tables; the sides are
+    * renamed to `cfg.idA`/`cfg.idB` internally (the Pipeline convention).
+    */
+  def appendDedupeIncrement(
+      corpus: DataFrame,
+      increment: DataFrame,
+      idCol: String,
+      cfg: graft.config.MatchConfig,
+      blockCols: Seq[String],
+      root: String,
+      maxBlockRows: Option[Long] = None,
+      fanoutPartitions: Option[Int] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    require(!cfg.comparisons.allVariables.exists(_.tfAdjust),
+      "appendDedupeIncrement cannot run TF-adjusted configs: TF denominators " +
+        "are corpus-wide frequencies and would be silently stale after an " +
+        "append — re-run the full dedupe instead")
+    val gdir = dir(root, "gammas")
+    require(isCompleteAt(gdir),
+      s"no complete gamma checkpoint at $gdir to append to — run the full " +
+        "dedupe first (linkAndClusterResumable)")
+    val linkMeta = Linker.linkMetaAt(gdir)
+    require(fileExists(linkMeta),
+      s"gamma checkpoint at $gdir has no link sidecar (written by an older " +
+        "version?) — cannot validate the configuration; re-run the full dedupe")
+    val fp = Linker.checkpointFingerprint(cfg, blockCols, maxBlockRows,
+      Some(dedupePairFilter))
+    val json = readFile(linkMeta)
+    val storedFp = """"fingerprint":"([0-9a-f]+)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    require(storedFp == fp,
+      s"gamma checkpoint at $gdir was written by a DIFFERENT configuration " +
+        "(config / blocking / salting fingerprint mismatch) — appending would " +
+        "mix incompatible comparisons")
+    val storedSpace = """"dims_a":(-?[0-9]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    val nC = corpus.count()
+    val nI = increment.count()
+    require(storedSpace == nC * (nC - 1) / 2,
+      s"checkpointed comparison space ($storedSpace) != nCorpus*(nCorpus-1)/2 " +
+        s"for the corpus passed in ($nC rows) — the corpus drifted since the " +
+        "checkpoint; re-run the full dedupe")
+    val sharedId = corpus.select(col(idCol).as("__id"))
+      .join(increment.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+      .limit(1).collect()
+    require(sharedId.isEmpty,
+      s"increment ids must be disjoint from corpus ids, but both contain " +
+        s"$idCol=${sharedId.headOption.map(_.get(0)).orNull}")
+
+    def asA(df: DataFrame) = df.withColumnRenamed(idCol, cfg.idA)
+    def asB(df: DataFrame) = df.withColumnRenamed(idCol, cfg.idB)
+    // increment x corpus: every cross pair exactly once, so NO ordering
+    // filter (the dedupe id_a < id_b convention would drop the pairs whose
+    // increment id is the larger); increment x increment: each unordered
+    // pair once via the standard filter. Together with the checkpointed
+    // corpus x corpus pairs this is exactly the unordered pair space of
+    // corpus UNION increment.
+    val gIC = Linker.narrowGammas(asA(increment), asB(corpus), cfg, blockCols,
+      maxBlockRows, fanoutPartitions)
+    val gII = Linker.narrowGammas(asA(increment), asB(increment), cfg, blockCols,
+      maxBlockRows, fanoutPartitions, pairFilter = Some(dedupePairFilter))
+    deleteRecursive(metaAt(gdir)) // stage incomplete until the append commits
+    deleteRecursive(linkMeta)
+    gIC.unionByName(gII).write.mode("append").parquet(gdir)
+    writeMetaFor(spark, gdir)
+    val n = nC + nI
+    Checkpoints.writeFile(linkMeta,
+      s"""{"fingerprint":"$fp","dims_a":${n * (n - 1) / 2},"dims_b":1}""")
+
+    // downstream stages are stale — drop and recompute them over the
+    // combined pair table (pattern counts + driver EM + threshold +
+    // clustering: cheap relative to the pair space)
+    stageNames(cfg).filterNot(_ == "gammas")
+      .foreach(s => deleteRecursive(dir(root, s)))
+    val full = corpus.unionByName(increment)
+    linkAndClusterResumable(asA(full), asB(full), cfg, blockCols, root,
+      maxBlockRows, fanoutPartitions,
+      pairFilter = Some(dedupePairFilter),
+      comparisonSpace = Some(dedupeComparisonSpace))
   }
 }

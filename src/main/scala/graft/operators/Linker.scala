@@ -186,7 +186,7 @@ object Linker {
   def effectiveVarnames(g: ComparisonGroup): Seq[String] =
     g.variables.map(_.varname) ++ g.children.map(_.name)
 
-  private def linkMetaAt(dir: String) = s"$dir/_graft_link.json"
+  private[operators] def linkMetaAt(dir: String) = s"$dir/_graft_link.json"
 
   /** Deterministic fingerprint of everything that shapes the narrow gamma
     * checkpoint's content besides the input rows themselves: the full config
@@ -195,7 +195,7 @@ object Linker {
     * fails fast instead of silently serving stale gammas. (`comparisonSpace`
     * needs no slot — its effect rides through the stored dims.)
     */
-  private def checkpointFingerprint(
+  private[operators] def checkpointFingerprint(
       cfg: MatchConfig,
       blockCols: Seq[String],
       maxBlockRows: Option[Long],
@@ -204,6 +204,49 @@ object Linker {
       pairFilter.map(_.toString).toString).mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest(repr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The narrow (ids + gammas [+ tf]) pair table for one A x B pair space —
+    * exactly the content of the gamma checkpoint: blocked pair join, gamma
+    * columns for every leaf variable (codegen), original compared columns
+    * dropped. [[link]] runs EM over this; the incremental-append path
+    * ([[Checkpoints.appendDedupeIncrement]]) computes it for the
+    * increment-only pair spaces and unions it into an existing checkpoint.
+    */
+  def narrowGammas(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      cfg: MatchConfig,
+      blockCols: Seq[String] = Nil,
+      maxBlockRows: Option[Long] = None,
+      fanoutPartitions: Option[Int] = None,
+      pairFilter: Option[Column] = None,
+      autoDistinctRewrite: Boolean = false,
+      observeA: Option[org.apache.spark.sql.Observation] = None,
+      observeB: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val allSpecs = cfg.comparisons.allVariables
+    var ps = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows,
+      fanoutPartitions, observeA, observeB)
+    pairFilter.foreach(f => ps = ps.filter(f))
+    // gamma columns for every leaf variable (one codegen'd projection;
+    // the distinct-value rewrite is applied per variable where it pays)
+    val (rewriteSpecs, plainSpecs) = allSpecs.partition { s =>
+      s.distinctRewrite.getOrElse(
+        autoDistinctRewrite && s.isFuzzyString &&
+          Gamma.distinctRatio(ps, s) < 0.25)
+    }
+    ps = Gamma.addGammaColumns(ps, plainSpecs)
+    ps = rewriteSpecs.foldLeft(ps)((p, s) => Gamma.addGammaColumnDistinct(p, s))
+    // Drop the compared columns — the Spark analogue of the reference's
+    // DiBitMatrix + drop-column-after-kernel discipline (fastlink.jl:109-113):
+    // comparisons run exactly once, and the EM/threshold passes re-read a
+    // narrow columnar table (bytes per pair) instead of re-running the join
+    // + kernels.
+    val keep = Seq("id_a", "id_b") ++
+      allSpecs.map(s => Gamma.gammaColName(s.varname)) ++
+      allSpecs.filter(_.tfAdjust).flatMap(s =>
+        Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)))
+    ps.select(keep.map(col): _*)
   }
 
   def link(
@@ -283,34 +326,14 @@ object Linker {
     var pairs: DataFrame = resumedPath match {
       case Some(done) => spark.read.parquet(done)
       case None =>
-        var ps = buildPairs(dfA, dfB, cfg, allSpecs, blockCols, maxBlockRows,
-          fanoutPartitions, Some(obsA), Some(obsB))
-        pairFilter.foreach(f => ps = ps.filter(f))
-
-        // gamma columns for every leaf variable (one codegen'd projection;
-        // the distinct-value rewrite is applied per variable where it pays)
-        val (rewriteSpecs, plainSpecs) = allSpecs.partition { s =>
-          s.distinctRewrite.getOrElse(
-            autoDistinctRewrite && s.isFuzzyString &&
-              Gamma.distinctRatio(ps, s) < 0.25)
-        }
-        ps = Gamma.addGammaColumns(ps, plainSpecs)
-        ps = rewriteSpecs.foldLeft(ps)((p, s) => Gamma.addGammaColumnDistinct(p, s))
-
-        // Drop the compared columns and materialize (ids + gammas [+ tf]) —
-        // the Spark analogue of the reference's DiBitMatrix + drop-column-
-        // after-kernel discipline (fastlink.jl:109-113): comparisons run
-        // exactly once, and the EM/threshold passes re-read a narrow
-        // columnar table (bytes per pair) instead of re-running the join +
-        // kernels. Default: in-memory columnar cache (spills to disk); with
+        val narrow = narrowGammas(dfA, dfB, cfg, blockCols, maxBlockRows,
+          fanoutPartitions, pairFilter, autoDistinctRewrite,
+          Some(obsA), Some(obsB))
+        // Materialize the narrow table so comparisons run exactly once.
+        // Default: in-memory columnar cache (spills to disk); with
         // `persistPath` the table lands in Parquet with a lineage sidecar
         // instead, doubling as the resumable stage checkpoint.
         if (persist) {
-          val keep = Seq("id_a", "id_b") ++
-            allSpecs.map(s => Gamma.gammaColName(s.varname)) ++
-            allSpecs.filter(_.tfAdjust).flatMap(s =>
-              Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)))
-          val narrow = ps.select(keep.map(col): _*)
           persistPath match {
             case Some(dir) =>
               val written = Checkpoints.materializeAt(spark, dir)(narrow)
@@ -322,7 +345,7 @@ object Linker {
             case None =>
               narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           }
-        } else ps
+        } else narrow
     }
 
     // leaf-first stages (reference H1-H3)

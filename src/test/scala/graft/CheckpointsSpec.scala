@@ -153,6 +153,87 @@ class CheckpointsSpec extends SparkSpec {
     assert(byComponent.values.exists(ns => ns.exists(_ >= off) && ns.exists(_ < off)))
   }
 
+  test("incremental dedupe append == from-scratch dedupe of the union") {
+    val rootFull = tmpRoot()
+    val rootInc = tmpRoot()
+    val pages = webPages(400).select("page_id", "title", "n_tokens", "block")
+    val cfgD = MatchConfig(
+      idA = "__ida", idB = "__idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    def asA(df: org.apache.spark.sql.DataFrame) = df.withColumnRenamed("page_id", "__ida")
+    def asB(df: org.apache.spark.sql.DataFrame) = df.withColumnRenamed("page_id", "__idb")
+    def dedupe(df: org.apache.spark.sql.DataFrame, root: String) =
+      Checkpoints.linkAndClusterResumable(asA(df), asB(df), cfgD, Seq("block"), root,
+        pairFilter = Some(Checkpoints.dedupePairFilter),
+        comparisonSpace = Some(Checkpoints.dedupeComparisonSpace))
+
+    dedupe(pages, rootFull).count()
+    // deterministic ~3:1 split into day-1 corpus and day-2 increment
+    val corpus = pages.filter(pmod(col("page_id"), lit(4)) =!= 0)
+    val inc = pages.filter(pmod(col("page_id"), lit(4)) === 0)
+    assert(inc.count() > 0 && corpus.count() > 0)
+    dedupe(corpus, rootInc).count()
+    val gammasRowsBefore = Checkpoints.readInfo(rootInc, "gammas").get.rows
+    Checkpoints.appendDedupeIncrement(corpus, inc, "page_id", cfgD,
+      Seq("block"), rootInc).count()
+
+    // matches: identical unordered pair set with identical zeta (the EM sees
+    // the same pattern counts and the same pinned comparison space)
+    def unorderedMatches(root: String) =
+      spark.read.parquet(s"$root/matches")
+        .select(least(col("id_a"), col("id_b")), greatest(col("id_a"), col("id_b")),
+          col("zeta_j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(unorderedMatches(rootInc) == unorderedMatches(rootFull))
+    // clusters: identical node -> component grouping
+    def grouping(root: String) =
+      spark.read.parquet(s"$root/clusters").collect()
+        .groupBy(_.getAs[Long]("component"))
+        .map(_._2.map(_.getAs[Long]("node")).toSet).toSet
+    assert(grouping(rootInc) == grouping(rootFull))
+    // the gamma checkpoint grew (append, not recompute) and its lineage
+    // metadata covers the combined table
+    val infoAfter = Checkpoints.readInfo(rootInc, "gammas").get
+    assert(infoAfter.rows > gammasRowsBefore)
+    assert(infoAfter.perPartitionRows.sum == infoAfter.rows)
+  }
+
+  test("incremental append guards: drifted corpus, TF configs, shared ids") {
+    val root = tmpRoot()
+    val pages = webPages(200).select("page_id", "title", "n_tokens", "block")
+    val cfgD = MatchConfig(
+      idA = "__ida", idB = "__idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    val corpus = pages.filter(pmod(col("page_id"), lit(4)) =!= 0)
+    val inc = pages.filter(pmod(col("page_id"), lit(4)) === 0)
+    Checkpoints.linkAndClusterResumable(
+      corpus.withColumnRenamed("page_id", "__ida"),
+      corpus.withColumnRenamed("page_id", "__idb"), cfgD, Seq("block"), root,
+      pairFilter = Some(Checkpoints.dedupePairFilter),
+      comparisonSpace = Some(Checkpoints.dedupeComparisonSpace)).count()
+    // corpus drifted: pass a truncated corpus
+    val drift = intercept[IllegalArgumentException](
+      Checkpoints.appendDedupeIncrement(corpus.limit(10), inc, "page_id", cfgD,
+        Seq("block"), root))
+    assert(drift.getMessage.contains("drifted"))
+    // shared ids
+    val shared = intercept[IllegalArgumentException](
+      Checkpoints.appendDedupeIncrement(corpus, corpus.limit(5), "page_id", cfgD,
+        Seq("block"), root))
+    assert(shared.getMessage.contains("disjoint"))
+    // TF-adjusted config rejected up front
+    val cfgTf = cfgD.copy(comparisons = ComparisonGroup("web", Seq(
+      VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88, tfAdjust = true))))
+    val tf = intercept[IllegalArgumentException](
+      Checkpoints.appendDedupeIncrement(corpus, inc, "page_id", cfgTf,
+        Seq("block"), root))
+    assert(tf.getMessage.contains("TF"))
+  }
+
   test("colliding comparison-group names are rejected (checkpoint stages collide)") {
     val df = spark.range(2).toDF("id")
     val cfg = MatchConfig("id", "id", comparisons = ComparisonGroup("p",

@@ -61,6 +61,46 @@ class PipelineSpec extends SparkSpec {
     assert(rows2 == rows1)
   }
 
+  test("pipeline CLI --increment extends a dedupe run day-over-day") {
+    val dir = Files.createTempDirectory("graft-pipe-inc").toString
+    val pages = WebCorpus.pages(spark, WebCorpus.Params(nBase = 400, dupFraction = 0.3, nHosts = 10))
+      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
+      .select("page_id", "title", "n_tokens", "block")
+    pages.filter(pmod(col("page_id"), lit(4)) =!= 0).write.parquet(s"$dir/day1.parquet")
+    pages.filter(pmod(col("page_id"), lit(4)) === 0).write.parquet(s"$dir/day2.parquet")
+    val base = Seq(
+      "--input-a", s"$dir/day1.parquet",
+      "--config", writeConfig(dir),
+      "--block", "block",
+      "--checkpoint", s"$dir/ckpt",
+      "--out", s"$dir/clusters.parquet")
+    Pipeline.run(spark, Pipeline.parseArgs(base))
+    val day1Nodes = spark.read.parquet(s"$dir/clusters.parquet")
+      .select("node").collect().map(_.getLong(0)).toSet
+    val summary = Pipeline.run(spark,
+      Pipeline.parseArgs(base ++ Seq("--increment", s"$dir/day2.parquet")))
+    assert(summary.contains(s""""increment":"$dir/day2.parquet""""), summary)
+    val day2Nodes = spark.read.parquet(s"$dir/clusters.parquet")
+      .select("node").collect().map(_.getLong(0)).toSet
+    // increment-side nodes joined the graph alongside day-1 nodes (exact
+    // append == from-scratch equivalence is covered in CheckpointsSpec; the
+    // EM legitimately re-estimates over the grown corpus here)
+    assert(day1Nodes.nonEmpty)
+    assert(day2Nodes.exists(_ % 4 == 0) && day2Nodes.exists(_ % 4 != 0))
+    // --increment outside dedupe mode is rejected
+    val cfgPath = s"$dir/link.json"
+    Files.writeString(Paths.get(cfgPath),
+      Files.readString(Paths.get(writeConfig(dir))).replace("dedupe_only", "link_only"))
+    val e = intercept[IllegalArgumentException](Pipeline.run(spark,
+      Pipeline.parseArgs(Seq(
+        "--input-a", s"$dir/day1.parquet", "--input-b", s"$dir/day2.parquet",
+        "--config", cfgPath, "--checkpoint", s"$dir/ckpt2",
+        "--increment", s"$dir/day2.parquet"))))
+    assert(e.getMessage.contains("--increment"))
+  }
+
   test("plain link mode fails fast when the two inputs share id values") {
     val dir = Files.createTempDirectory("graft-pipe-ids").toString
     val pages = WebCorpus.pages(spark, WebCorpus.Params(nBase = 50, dupFraction = 0.2, nHosts = 5))

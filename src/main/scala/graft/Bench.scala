@@ -60,16 +60,8 @@ object Bench {
     math.max(64, s.sparkContext.defaultParallelism * 2)
 
   private def benchPages(spark: SparkSession, nBase: Long, nHosts: Int): DataFrame =
-    WebCorpus.pages(spark, WebCorpus.Params(nBase = nBase, dupFraction = 0.25,
-        nHosts = nHosts))
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("title", concat_ws(" ", slice(col("toks"), 1, 3)))
-      .withColumn("mid3", concat_ws(" ", slice(col("toks"), 4, 3)))
-      .withColumn("tail3", concat_ws(" ", slice(col("toks"), 7, 3)))
-      .withColumn("tok1", element_at(col("toks"), 1))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
-      .drop("toks")
+    WebCorpus.linkInput(spark, WebCorpus.Params(nBase = nBase, dupFraction = 0.25,
+      nHosts = nHosts))
 
   private val benchSpecs = Seq(
     VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),

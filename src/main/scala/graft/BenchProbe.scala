@@ -50,16 +50,8 @@ object BenchProbe {
   }
 
   def run(spark: SparkSession, nBase: Long, nHosts: Int): Unit = {
-    val pages = WebCorpus.pages(spark, WebCorpus.Params(nBase = nBase, dupFraction = 0.25,
-        nHosts = nHosts))
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("title", concat_ws(" ", slice(col("toks"), 1, 3)))
-      .withColumn("mid3", concat_ws(" ", slice(col("toks"), 4, 3)))
-      .withColumn("tail3", concat_ws(" ", slice(col("toks"), 7, 3)))
-      .withColumn("tok1", element_at(col("toks"), 1))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
-      .drop("toks")
+    val pages = WebCorpus.linkInput(spark, WebCorpus.Params(nBase = nBase,
+      dupFraction = 0.25, nHosts = nHosts))
     timed("corpus count")(pages.count())
     timed("corpus count again")(pages.count())
     val specs = Seq(

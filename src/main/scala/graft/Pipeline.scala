@@ -86,13 +86,22 @@ object Pipeline {
     */
   def run(spark: SparkSession, args: Args): String = {
     val t0 = System.nanoTime()
+    // GRAFT_PIPELINE_TRACE=1: per-phase wall-clock marks on stderr, for
+    // attributing driver-side time that falls between stage checkpoints
+    // (plan analysis, EM, sidecar I/O) when tuning a scaling run
+    val trace = sys.env.get("GRAFT_PIPELINE_TRACE").contains("1")
+    def mark(phase: String): Unit = if (trace)
+      System.err.println(f"[pipeline-trace] ${(System.nanoTime() - t0) / 1e9}%8.2fs  $phase")
     val cfg = MatchConfig.fromJson(Files.readString(Paths.get(args.configPath)))
+    mark("config parsed")
     require(args.increment.isEmpty || cfg.linkType == "dedupe_only" || args.inputB.isEmpty,
       "--increment is only supported in dedupe mode (link_type=dedupe_only " +
         "or no --input-b)")
     val dfA = spark.read.parquet(args.inputA)
+    mark("input A resolved")
     val stages = Checkpoints.stageNames(cfg)
     val resumed = stages.filter(Checkpoints.isComplete(args.checkpointRoot, _))
+    mark("resume state checked")
 
     def requireIdCol(df: DataFrame): Unit =
       require(df.columns.contains(cfg.idA),
@@ -150,11 +159,14 @@ object Pipeline {
           cfg, args.blockCols, args.checkpointRoot, args.maxBlockRows,
           args.fanout)
     }
+    mark("clusters stage complete")
     args.out.foreach(clusters.write.mode("overwrite").parquet(_))
+    mark("output written")
 
     val stageJson = stages.flatMap { s =>
       Checkpoints.readInfo(args.checkpointRoot, s).map { i =>
         s""""$s":{"rows":${i.rows},"partitions":${i.partitions},""" +
+          f""""sec":${i.secs}%.2f,""" +
           s""""resumed":${resumed.contains(s)},"written_at_ms":${i.writtenAtMs}}"""
       }
     }.mkString("{", ",", "}")

@@ -24,7 +24,8 @@ object Checkpoints {
       rows: Long,
       partitions: Int,
       perPartitionRows: Seq[Long],
-      writtenAtMs: Long)
+      writtenAtMs: Long,
+      secs: Double = -1.0)
 
   private def dir(root: String, stage: String) = s"$root/$stage"
   private def metaAt(path: String) = s"$path/_graft_meta.json"
@@ -83,7 +84,8 @@ object Checkpoints {
     * `path` and writes the stage sidecar — the step that flips a checkpoint
     * to complete.
     */
-  private def writeMetaFor(spark: SparkSession, path: String): StageInfo = {
+  private def writeMetaFor(spark: SparkSession, path: String,
+      secs: Double = -1.0): StageInfo = {
     val written = spark.read.parquet(path)
     val perPart = written
       .groupBy(spark_partition_id().as("pid"))
@@ -94,21 +96,32 @@ object Checkpoints {
       .toSeq
     val stage = path.reverse.dropWhile(_ == '/').takeWhile(_ != '/').reverse
     val info = StageInfo(stage, perPart.sum, perPart.size, perPart,
-      System.currentTimeMillis())
+      System.currentTimeMillis(), secs)
     val json =
       s"""{"stage":"${info.stage}","rows":${info.rows},""" +
         s""""partitions":${info.partitions},""" +
         s""""per_partition_rows":[${info.perPartitionRows.mkString(",")}],""" +
+        f""""sec":${info.secs}%.2f,""" +
         s""""written_at_ms":${info.writtenAtMs}}"""
     writeFile(metaAt(path), json)
     info
   }
 
+  private val traceEnabled = sys.env.get("GRAFT_PIPELINE_TRACE").contains("1")
+  private def trace(msg: String): Unit = if (traceEnabled)
+    System.err.println(f"[pipeline-trace] ${System.currentTimeMillis() % 1000000 / 1e3}%8.3fs  $msg")
+
   def materializeAt(spark: SparkSession, path: String)(df: => DataFrame): DataFrame = {
     if (!isCompleteAt(path)) {
+      // stage wall time covers compute + write + the lineage-counter pass —
+      // the per-stage number the Pipeline summary reports for scaling runs
+      trace(s"stage begin: $path")
+      val t0 = System.nanoTime()
       val d = df
       d.write.mode("overwrite").parquet(path)
-      writeMetaFor(spark, path)
+      val computed = (System.nanoTime() - t0) / 1e9
+      writeMetaFor(spark, path, secs = computed)
+      trace(f"stage end:   $path ($computed%.2fs + meta)")
     }
     spark.read.parquet(path)
   }
@@ -121,13 +134,16 @@ object Checkpoints {
     else {
       val json = readFile(metaPath(root, stage))
       def grab(k: String) = s""""$k":([0-9]+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+      val secs = """"sec":(-?[0-9.]+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
       val parts = s""""per_partition_rows":\\[([0-9,]*)\\]""".r
         .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
       Some(StageInfo(stage,
         grab("rows").getOrElse(0L),
         grab("partitions").getOrElse(0L).toInt,
         if (parts.isEmpty) Nil else parts.split(",").map(_.toLong).toSeq,
-        grab("written_at_ms").getOrElse(0L)))
+        grab("written_at_ms").getOrElse(0L),
+        secs))
     }
 
   /** Stage names a given config produces under the checkpoint root, in
@@ -289,8 +305,9 @@ object Checkpoints {
       maxBlockRows, fanoutPartitions, pairFilter = Some(dedupePairFilter))
     deleteRecursive(metaAt(gdir)) // stage incomplete until the append commits
     deleteRecursive(linkMeta)
+    val tAppend = System.nanoTime()
     gIC.unionByName(gII).write.mode("append").parquet(gdir)
-    writeMetaFor(spark, gdir)
+    writeMetaFor(spark, gdir, secs = (System.nanoTime() - tAppend) / 1e9)
     val n = nC + nI
     Checkpoints.writeFile(linkMeta,
       s"""{"fingerprint":"$fp","dims_a":${n * (n - 1) / 2},"dims_b":1}""")

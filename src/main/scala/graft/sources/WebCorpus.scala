@@ -127,6 +127,24 @@ object WebCorpus {
   def table(spark: SparkSession, p: Params): DataFrame =
     pages(spark, p).select("url", "warc_ts", "html", "text", "lang")
 
+  /** The linkage-ready projection of [[pages]] shared by the flagship bench
+    * and the spark-submit scaling runs: extracted comparison fields (title /
+    * mid3 / tail3 token windows, first token, token count) plus the
+    * deterministic host+lang blocking key. One narrow table per side is what
+    * a production run would land after its extraction pass — comparators
+    * never touch `html`/`text` again.
+    */
+  def linkInput(spark: SparkSession, p: Params): DataFrame =
+    pages(spark, p)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("title", concat_ws(" ", slice(col("toks"), 1, 3)))
+      .withColumn("mid3", concat_ws(" ", slice(col("toks"), 4, 3)))
+      .withColumn("tail3", concat_ws(" ", slice(col("toks"), 7, 3)))
+      .withColumn("tok1", element_at(col("toks"), 1))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
+      .drop("toks")
+
   /** All intra-block (host+lang) labeled pairs:
     * (id_a, id_b, url_a, url_b, is_dup). This is the F1 ground truth at the
     * fixed blocking key (BASELINE.md north rule).

@@ -17,13 +17,37 @@ import org.apache.spark.sql.functions._
   * localCheckpoint so the plan does not grow exponentially; at cluster scale
   * swap in reliable checkpointing (`spark.sparkContext.setCheckpointDir` +
   * `.checkpoint()`) for executor-loss resilience.
+  *
+  * Graphs at or under [[LocalMaxEdges]] deduplicated edges short-circuit to
+  * a driver union-find (one bounded collect) — see the constant's doc for
+  * the measured rationale; the iterative loop is the path above the cap,
+  * with its shuffle partitioning sized to the edge count rather than the
+  * session's pair-join setting.
   */
 object ConnectedComponents {
+
+  /** Below this many (deduplicated) edges the component assignment runs as a
+    * driver-side union-find over ONE bounded collect (64 MB of long pairs at
+    * the cap) instead of the iterative self-join loop. Rationale: each
+    * large-star/small-star round is ~6 shuffle stages + a lineage-truncation
+    * job, so on a tiny match graph the loop is pure scheduling latency
+    * (measured: 28k edges → 22.8 s cold / 7.5 s warm at local[8], vs
+    * milliseconds of actual union-find work). The match graph after
+    * thresholding is routinely this small even when the scored pair space is
+    * billions — and when it is NOT (web-scale dedupe with giant clusters),
+    * the distributed loop below is the path taken. Same contract either way:
+    * component = min reachable node id.
+    */
+  val LocalMaxEdges: Long = 4L << 20
 
   /** edges: two long columns (src, dst). Returns (node, component) where
     * component = min node id reachable.
     */
-  def run(edges: DataFrame, maxIter: Int = 50, reliable: Boolean = false): DataFrame = {
+  def run(
+      edges: DataFrame,
+      maxIter: Int = 50,
+      reliable: Boolean = false,
+      localMaxEdges: Long = LocalMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -34,14 +58,40 @@ object ConnectedComponents {
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
     val prevCoalesce = spark.conf.getOption(coalesceKey)
     spark.conf.set(coalesceKey, "true")
-    try runInternal(edges, maxIter, reliable)
+    try runInternal(edges, maxIter, reliable, localMaxEdges)
     finally prevCoalesce match {
       case Some(v) => spark.conf.set(coalesceKey, v)
       case None    => spark.conf.unset(coalesceKey)
     }
   }
 
-  private def runInternal(edges: DataFrame, maxIter: Int, reliable: Boolean): DataFrame = {
+  /** Driver union-find over a bounded edge list: roots are always the
+    * minimum id of their set, so find(x) IS the component label. Attaching
+    * the larger root under the smaller (union-by-min) plus full path
+    * compression keeps this effectively linear at the ≤[[LocalMaxEdges]]
+    * sizes that reach it.
+    */
+  private[operators] def unionFindLocal(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+      var y = x0 // path compression
+      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    pairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    pairs.iterator.flatMap { case (u, v) => Iterator(u, v) }.toSet.toSeq
+      .map((n: Long) => (n, find(n)))
+  }
+
+  private def runInternal(
+      edges: DataFrame, maxIter: Int, reliable: Boolean,
+      localMaxEdges: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -56,6 +106,32 @@ object ConnectedComponents {
         .filter($"u" =!= $"v")
         .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
         .distinct())
+
+    val nEdges = e.count()
+    if (nEdges <= localMaxEdges) {
+      val local = unionFindLocal(e.as[(Long, Long)].collect())
+      return spark.createDataset(local).toDF("node", "component")
+    }
+    // large graph: size the loop's shuffles to the data (the session's
+    // pair-join partitioning is far too fine for long-pair iterations; fewer
+    // tasks = less per-round scheduling latency, AQE still coalesces below)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = spark.conf.getOption(partKey)
+    spark.conf.set(partKey,
+      math.max(16L, math.min(spark.conf.get(partKey).toLong, nEdges / 2000000L)).toString)
+    try runLoop(e, maxIter, checkpoint)
+    finally prevPart match {
+      case Some(v) => spark.conf.set(partKey, v)
+      case None    => spark.conf.unset(partKey)
+    }
+  }
+
+  private def runLoop(
+      e0: DataFrame, maxIter: Int,
+      checkpoint: DataFrame => DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    var e = e0
 
     var iter = 0
     var converged = false

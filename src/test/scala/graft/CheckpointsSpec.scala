@@ -25,10 +25,15 @@ class CheckpointsSpec extends SparkSpec {
     assert(info.rows == 100)
     assert(info.perPartitionRows.sum == 100)
     assert(info.partitions == info.perPartitionRows.size)
+    // stage wall time (compute + write) is recorded for scaling-run
+    // attribution and survives the sidecar round-trip
+    assert(info.secs > 0.0 && info.secs < 600.0)
     // resume: the stage body must NOT run again
     val second = Checkpoints.materialize(spark, root, "s1")(stage())
     assert(second.count() == 100)
     assert(computeCount == 1)
+    // a resumed read keeps the originally recorded duration
+    assert(Checkpoints.readInfo(root, "s1").get.secs == info.secs)
   }
 
   test("resumable link-and-cluster completes and resumes mid-pipeline") {

@@ -39,4 +39,32 @@ class ConnectedComponentsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
   }
+
+  test("driver union-find short-circuit == distributed large/small-star loop") {
+    import spark.implicits._
+    // seeded random graph: mixture of chains, merges, and isolated pairs
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(500)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // localMaxEdges=0 forces the iterative loop; default takes the driver path
+    val distributed = toMap(ConnectedComponents.run(edges, localMaxEdges = 0L))
+    val local = toMap(ConnectedComponents.run(edges))
+    assert(local == distributed)
+    assert(local.nonEmpty)
+  }
+
+  test("chains and cliques resolve identically through the distributed loop") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("src", "dst")
+    val comps = ConnectedComponents.run(edges, localMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L).forall(comps(_) == 20L))
+  }
 }

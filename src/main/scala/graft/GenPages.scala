@@ -22,9 +22,17 @@ import graft.sources.WebCorpus
 object GenPages {
   def main(argv: Array[String]): Unit = {
     val raw = argv.contains("--raw") // flag (no value) — strip before pairing
+    val known = Set("out", "n-base", "n-hosts", "dup-fraction", "seed")
     val m = argv.filterNot(_ == "--raw").grouped(2)
-      .collect { case Array(k, v) if k.startsWith("--") =>
-        k.stripPrefix("--") -> v }.toMap
+      .map {
+        // a misspelled flag must fail, not silently fall back to defaults —
+        // a default-sized corpus would feed the scaling runs wrong evidence
+        case Array(k, v) if k.startsWith("--") && known(k.stripPrefix("--")) =>
+          k.stripPrefix("--") -> v
+        case other => throw new IllegalArgumentException(
+          s"unrecognized or unpaired argument: ${other.mkString(" ")} " +
+            s"(known: ${known.map("--" + _).mkString(", ")}, --raw)")
+      }.toMap
     val out = m.getOrElse("out",
       throw new IllegalArgumentException("missing required --out"))
     val p = WebCorpus.Params(

@@ -17,8 +17,15 @@ import graft.operators.Checkpoints
   *   --block host,lang \
   *   --checkpoint s3://bucket/ckpt/run1 \
   *   [--out /data/clusters.parquet] [--max-block-rows 1000] [--fanout 256] \
-  *   [--increment /data/pages_day2.parquet]
+  *   [--increment /data/pages_day2.parquet] [--gamma-checkpoint parquet|cache]
   * }}}
+  *
+  * `--gamma-checkpoint cache` switches the pair-scale gamma table from a
+  * parquet checkpoint to an in-run cache (sufficient-statistics
+  * checkpointing): only pattern counts, matches, and clusters persist, and a
+  * resume re-runs the fused pair join at most once. At pair spaces too big
+  * to store (the 10^12-document regime) this is the only viable shape — see
+  * [[graft.operators.Checkpoints.linkAndClusterResumable]].
   *
   * `--increment` (dedupe mode only) extends the previous run's gamma
   * checkpoint with the increment's pairs (increment x corpus +
@@ -55,7 +62,8 @@ object Pipeline {
       out: Option[String],
       maxBlockRows: Option[Long],
       fanout: Option[Int],
-      increment: Option[String] = None)
+      increment: Option[String] = None,
+      gammaMode: String = "parquet")
 
   def parseArgs(argv: Seq[String]): Args = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -78,7 +86,12 @@ object Pipeline {
       out = m.get("out"),
       maxBlockRows = m.get("max-block-rows").map(_.toLong),
       fanout = m.get("fanout").map(_.toInt),
-      increment = m.get("increment"))
+      increment = m.get("increment"),
+      gammaMode = m.get("gamma-checkpoint").map { v =>
+        require(v == "parquet" || v == "cache",
+          s"--gamma-checkpoint must be 'parquet' or 'cache', got '$v'")
+        v
+      }.getOrElse("parquet"))
   }
 
   /** Runs the pipeline; returns the JSON summary line. Separated from
@@ -97,15 +110,23 @@ object Pipeline {
     require(args.increment.isEmpty || cfg.linkType == "dedupe_only" || args.inputB.isEmpty,
       "--increment is only supported in dedupe mode (link_type=dedupe_only " +
         "or no --input-b)")
+    require(args.increment.isEmpty || args.gammaMode == "parquet",
+      "--increment requires --gamma-checkpoint parquet: the append extends " +
+        "the materialized gamma table, which cache mode does not write")
     val dfA = spark.read.parquet(args.inputA)
     mark("input A resolved")
     val stages = Checkpoints.stageNames(cfg)
-    val resumed = stages.filter(Checkpoints.isComplete(args.checkpointRoot, _))
+    // pre-run sidecar timestamps: a stage counts as RESUMED only if it was
+    // complete before the run AND its sidecar is untouched after it — an
+    // increment run deletes + recomputes the downstream stages, which a
+    // simple "complete before the run" snapshot would misreport as resumed
+    val sidecarsBefore: Map[String, Long] = stages.flatMap(s =>
+      Checkpoints.readInfo(args.checkpointRoot, s).map(s -> _.writtenAtMs)).toMap
     mark("resume state checked")
 
-    def requireIdCol(df: DataFrame): Unit =
+    def requireIdCol(df: DataFrame, what: String = "the input"): Unit =
       require(df.columns.contains(cfg.idA),
-        s"id column '${cfg.idA}' (config idvar) not present in the input: " +
+        s"id column '${cfg.idA}' (config idvar) not present in $what: " +
           df.columns.mkString(", "))
 
     def dedupeOf(df: DataFrame): DataFrame = {
@@ -118,7 +139,9 @@ object Pipeline {
           // the increment's pairs only — the corpus pair space is never
           // recomputed (Checkpoints.appendDedupeIncrement validates the
           // config fingerprint, corpus size, and id disjointness)
-          Checkpoints.appendDedupeIncrement(df, spark.read.parquet(incPath),
+          val inc = spark.read.parquet(incPath)
+          requireIdCol(inc, s"the increment table ($incPath)")
+          Checkpoints.appendDedupeIncrement(df, inc,
             cfg.idA, cfg.copy(idA = "__ida", idB = "__idb"), args.blockCols,
             args.checkpointRoot, args.maxBlockRows, args.fanout)
         case None =>
@@ -128,7 +151,8 @@ object Pipeline {
             cfg.copy(idA = "__ida", idB = "__idb"), args.blockCols,
             args.checkpointRoot, args.maxBlockRows, args.fanout,
             pairFilter = Some(Checkpoints.dedupePairFilter),
-            comparisonSpace = Some(Checkpoints.dedupeComparisonSpace))
+            comparisonSpace = Some(Checkpoints.dedupeComparisonSpace),
+            gammaMode = args.gammaMode)
       }
     }
 
@@ -157,14 +181,18 @@ object Pipeline {
         requireDisjointIds(dfB, cfg.idB, s"link clustering (${cfg.linkType})")
         Checkpoints.linkAndClusterResumable(dfA, dfB,
           cfg, args.blockCols, args.checkpointRoot, args.maxBlockRows,
-          args.fanout)
+          args.fanout, gammaMode = args.gammaMode)
     }
     mark("clusters stage complete")
     args.out.foreach(clusters.write.mode("overwrite").parquet(_))
     mark("output written")
 
+    val infosAfter = stages.flatMap(s =>
+      Checkpoints.readInfo(args.checkpointRoot, s).map(s -> _)).toMap
+    val resumed = stages.filter(s =>
+      infosAfter.get(s).exists(i => sidecarsBefore.get(s).contains(i.writtenAtMs)))
     val stageJson = stages.flatMap { s =>
-      Checkpoints.readInfo(args.checkpointRoot, s).map { i =>
+      infosAfter.get(s).map { i =>
         s""""$s":{"rows":${i.rows},"partitions":${i.partitions},""" +
           f""""sec":${i.secs}%.2f,""" +
           s""""resumed":${resumed.contains(s)},"written_at_ms":${i.writtenAtMs}}"""

@@ -82,17 +82,29 @@ object Checkpoints {
     */
   /** Recomputes the per-partition lineage counters from the parquet files at
     * `path` and writes the stage sidecar — the step that flips a checkpoint
-    * to complete.
+    * to complete. Counters come from the parquet FOOTERS (one row-group
+    * metadata read per file, no data pages touched): a full re-scan of the
+    * stage output just to count rows would double every stage's read traffic
+    * — measured ~12 s of extra wall per pipeline run at the 74M-row bench
+    * scale, and unaffordable at 100 TB. One file = one write task, so the
+    * counters are genuine write-partition lineage.
     */
   private def writeMetaFor(spark: SparkSession, path: String,
       secs: Double = -1.0): StageInfo = {
-    val written = spark.read.parquet(path)
-    val perPart = written
-      .groupBy(spark_partition_id().as("pid"))
-      .count()
-      .orderBy("pid")
-      .collect()
-      .map(_.getLong(1))
+    val conf = hconf()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val perPart = fs.listStatus(p)
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+      .map { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try reader.getRecordCount finally reader.close()
+      }
       .toSeq
     val stage = path.reverse.dropWhile(_ == '/').takeWhile(_ != '/').reverse
     val info = StageInfo(stage, perPart.sum, perPart.size, perPart,
@@ -108,13 +120,17 @@ object Checkpoints {
   }
 
   private val traceEnabled = sys.env.get("GRAFT_PIPELINE_TRACE").contains("1")
+  // monotonic, relative to class load (≈ run start under spark-submit) —
+  // comparable with graft.Pipeline's own t0-relative marks and never wraps
+  private val traceT0 = System.nanoTime()
   private def trace(msg: String): Unit = if (traceEnabled)
-    System.err.println(f"[pipeline-trace] ${System.currentTimeMillis() % 1000000 / 1e3}%8.3fs  $msg")
+    System.err.println(f"[pipeline-trace] ${(System.nanoTime() - traceT0) / 1e9}%8.3fs  $msg")
 
   def materializeAt(spark: SparkSession, path: String)(df: => DataFrame): DataFrame = {
     if (!isCompleteAt(path)) {
-      // stage wall time covers compute + write + the lineage-counter pass —
-      // the per-stage number the Pipeline summary reports for scaling runs
+      // stage wall time covers compute + parquet write (the post-write
+      // lineage-counter pass is excluded — the trace prints it as "+ meta");
+      // this is the per-stage number the Pipeline summary reports
       trace(s"stage begin: $path")
       val t0 = System.nanoTime()
       val d = df
@@ -171,6 +187,25 @@ object Checkpoints {
     * The EMs themselves recompute on every run — deterministic driver-side
     * math over the checkpointed pattern counts, so a fully-checkpointed
     * resume touches only tiny parquet + the row-scale input counts.
+    *
+    * `gammaMode` picks the materialization of the pair-scale gamma table:
+    *
+    *  - `"parquet"` (default): the narrow table lands as the `gammas`
+    *    checkpoint — exact resume without re-running the pair join, and the
+    *    artifact [[appendDedupeIncrement]] appends to. The right choice while
+    *    the pair table is small enough to store.
+    *  - `"cache"`: SUFFICIENT-STATISTICS checkpointing — only the tiny
+    *    pattern counts, matches, and clusters are persisted; the narrow
+    *    table lives in an in-memory/disk cache for the duration of the run
+    *    and a resume re-runs the fused pair join at most once. This is the
+    *    pair-space-at-scale mode: at 10^12 documents the pair table is
+    *    petabytes and writing it is the bottleneck (measured at bench scale:
+    *    the parquet ENCODE of 74M narrow rows costs ~8x the comparator
+    *    compute), while everything EM and thresholding need beyond the pairs
+    *    themselves fits in kilobytes. Config identity + comparison-space
+    *    dims are pinned in a root-level `_graft_run.json` sidecar, giving
+    *    the same stale-resume and drift protection the parquet mode stores
+    *    beside the gamma table.
     */
   def linkAndClusterResumable(
       dfA: DataFrame,
@@ -181,8 +216,11 @@ object Checkpoints {
       maxBlockRows: Option[Long] = None,
       fanoutPartitions: Option[Int] = None,
       pairFilter: Option[org.apache.spark.sql.Column] = None,
-      comparisonSpace: Option[(Long, Long) => Long] = None): DataFrame = {
+      comparisonSpace: Option[(Long, Long) => Long] = None,
+      gammaMode: String = "parquet"): DataFrame = {
     val spark = dfA.sparkSession
+    require(gammaMode == "parquet" || gammaMode == "cache",
+      s"gammaMode must be 'parquet' or 'cache', got '$gammaMode'")
     // stage names double as checkpoint directory names — a config with two
     // comparison groups sharing a name would resume one stage's EM from the
     // other's pattern table with no error
@@ -190,22 +228,63 @@ object Checkpoints {
     require(names.distinct == names,
       s"comparison group names must be unique (checkpoint stages collide): " +
         names.diff(names.distinct).distinct.mkString(", "))
+    val dimsOverride = if (gammaMode == "cache")
+      Some(pinnedRunDims(dfA, dfB, cfg, blockCols, maxBlockRows, pairFilter, root))
+    else None
     val result = Linker.link(dfA, dfB, cfg, blockCols,
       maxBlockRows = maxBlockRows,
-      persistPath = Some(dir(root, "gammas")),
+      persistPath = if (gammaMode == "parquet") Some(dir(root, "gammas")) else None,
       fanoutPartitions = fanoutPartitions,
       pairFilter = pairFilter,
       comparisonSpace = comparisonSpace,
-      patternStage = (name, agg) => materialize(spark, root, s"patterns_$name")(agg()))
+      patternStage = (name, agg) => materialize(spark, root, s"patterns_$name")(agg()),
+      dimsOverride = dimsOverride)
     val matches = materialize(spark, root, "matches") {
       result.matches().select(col("id_a"), col("id_b"),
         col(result.scoreColName).as("zeta_j"))
     }
-    materialize(spark, root, "clusters") {
+    val clusters = materialize(spark, root, "clusters") {
       // every matched pair is an edge — clusterPairs normalizes direction,
       // self-loops, and duplicates itself; filtering id_a < id_b here would
       // silently drop link-mode edges whose A-id happens to exceed its B-id
       ConnectedComponents.clusterPairs(matches)
+    }
+    // cache mode: the run is over, every persisted stage is on disk — free
+    // the executor-memory copy of the pair table (long-lived sessions)
+    result.persistedBase.foreach(_.unpersist())
+    clusters
+  }
+
+  /** Cache-mode run sidecar at the checkpoint root: the config/blocking
+    * fingerprint plus the raw side counts, pinned at first run. A resume
+    * validates the fingerprint (stale-config protection — same guarantee the
+    * parquet mode stores beside the gamma table) and reuses the pinned
+    * counts so the EM stays consistent with the checkpointed pattern counts
+    * even if the input tables drifted since.
+    */
+  private def pinnedRunDims(
+      dfA: DataFrame, dfB: DataFrame, cfg: graft.config.MatchConfig,
+      blockCols: Seq[String], maxBlockRows: Option[Long],
+      pairFilter: Option[org.apache.spark.sql.Column],
+      root: String): (Long, Long) = {
+    val fp = Linker.checkpointFingerprint(cfg, blockCols, maxBlockRows, pairFilter)
+    val runMeta = s"$root/_graft_run.json"
+    if (fileExists(runMeta)) {
+      val json = readFile(runMeta)
+      val storedFp = """"fingerprint":"([0-9a-f]+)"""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("")
+      if (storedFp != fp) throw new IllegalStateException(
+        s"checkpoint root $root was written by a DIFFERENT link configuration " +
+          "(config / blocking / salting / pair-filter fingerprint mismatch) — " +
+          "resuming would serve stale pattern counts; clear the checkpoint " +
+          "directory or rerun with the original configuration")
+      def grab(k: String) =
+        s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+      (grab("n_a").getOrElse(-1L), grab("n_b").getOrElse(-1L))
+    } else {
+      val d = (dfA.count(), dfB.count()) // row-scale (parquet: footer-only)
+      writeFile(runMeta, s"""{"fingerprint":"$fp","n_a":${d._1},"n_b":${d._2}}""")
+      d
     }
   }
 
@@ -214,7 +293,20 @@ object Checkpoints {
     * N(N-1)/2.
     */
   def dedupePairFilter: org.apache.spark.sql.Column = col("id_a") < col("id_b")
-  def dedupeComparisonSpace: (Long, Long) => Long = (n, _) => n * (n - 1) / 2
+  def dedupeComparisonSpace: (Long, Long) => Long = (n, _) => unorderedPairCount(n)
+
+  /** n*(n-1)/2 with an explicit overflow guard: the count exceeds Long at
+    * n > 2^32 (~4.3e9 rows). Per-table scale above that needs the comparison
+    * space tracked per blocking shard (where each shard's count fits) — fail
+    * fast rather than wrap negative and silently corrupt the EM lambda prior
+    * and the checkpoint drift guard.
+    */
+  private[graft] def unorderedPairCount(n: Long): Long = {
+    require(n >= 0 && n <= (1L << 32),
+      s"unordered pair count n*(n-1)/2 overflows Long for n=$n rows; " +
+        "track the comparison space per blocking shard at this scale")
+    if (n % 2 == 0) n / 2 * (n - 1) else (n - 1) / 2 * n
+  }
 
   /** Incremental dedupe: extends a completed `gammas` checkpoint (a
     * dedupe-mode run over `corpus`) with the pairs a new `increment` adds —
@@ -237,10 +329,12 @@ object Checkpoints {
     *  - TF-adjusted configs are rejected: TF denominators are corpus-wide
     *    frequencies, which an append would silently leave stale.
     *
-    * Crash safety: the stage sidecar is deleted BEFORE the parquet append
-    * and rewritten (with recomputed lineage counters) after it, so a crash
-    * mid-append leaves the stage incomplete and the next run recomputes it
-    * from scratch (`materializeAt`'s overwrite clears the partial mix).
+    * Crash safety: the stale downstream checkpoints AND the gamma sidecars
+    * are deleted BEFORE the parquet append, and the sidecar is rewritten
+    * (with recomputed lineage counters) after it — a crash anywhere in the
+    * window leaves gammas incomplete with no stale downstream stage marked
+    * complete, so the next run recomputes from scratch (`materializeAt`'s
+    * overwrite clears the partial mix).
     *
     * `idCol` names the id column in both input tables; the sides are
     * renamed to `cfg.idA`/`cfg.idB` internally (the Pipeline convention).
@@ -280,7 +374,7 @@ object Checkpoints {
       .map(_.group(1).toLong).getOrElse(-1L)
     val nC = corpus.count()
     val nI = increment.count()
-    require(storedSpace == nC * (nC - 1) / 2,
+    require(storedSpace == unorderedPairCount(nC),
       s"checkpointed comparison space ($storedSpace) != nCorpus*(nCorpus-1)/2 " +
         s"for the corpus passed in ($nC rows) — the corpus drifted since the " +
         "checkpoint; re-run the full dedupe")
@@ -303,6 +397,14 @@ object Checkpoints {
       maxBlockRows, fanoutPartitions)
     val gII = Linker.narrowGammas(asA(increment), asB(increment), cfg, blockCols,
       maxBlockRows, fanoutPartitions, pairFilter = Some(dedupePairFilter))
+    // Downstream stages are stale the instant the append commits — drop them
+    // FIRST. A crash between here and the sidecar rewrite below leaves gammas
+    // incomplete and downstream absent (clean full recompute); deleting them
+    // after the append instead would open a window where a crash leaves
+    // corpus-only matches/clusters marked complete beside a combined gamma
+    // table, and the advised full re-run would resume those stale stages.
+    stageNames(cfg).filterNot(_ == "gammas")
+      .foreach(s => deleteRecursive(dir(root, s)))
     deleteRecursive(metaAt(gdir)) // stage incomplete until the append commits
     deleteRecursive(linkMeta)
     val tAppend = System.nanoTime()
@@ -310,13 +412,11 @@ object Checkpoints {
     writeMetaFor(spark, gdir, secs = (System.nanoTime() - tAppend) / 1e9)
     val n = nC + nI
     Checkpoints.writeFile(linkMeta,
-      s"""{"fingerprint":"$fp","dims_a":${n * (n - 1) / 2},"dims_b":1}""")
+      s"""{"fingerprint":"$fp","dims_a":${unorderedPairCount(n)},"dims_b":1}""")
 
-    // downstream stages are stale — drop and recompute them over the
-    // combined pair table (pattern counts + driver EM + threshold +
-    // clustering: cheap relative to the pair space)
-    stageNames(cfg).filterNot(_ == "gammas")
-      .foreach(s => deleteRecursive(dir(root, s)))
+    // recompute the downstream stages over the combined pair table (pattern
+    // counts + driver EM + threshold + clustering: cheap relative to the
+    // pair space)
     val full = corpus.unionByName(increment)
     linkAndClusterResumable(asA(full), asB(full), cfg, blockCols, root,
       maxBlockRows, fanoutPartitions,

@@ -27,18 +27,22 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Below this many (deduplicated) edges the component assignment runs as a
-    * driver-side union-find over ONE bounded collect (64 MB of long pairs at
-    * the cap) instead of the iterative self-join loop. Rationale: each
-    * large-star/small-star round is ~6 shuffle stages + a lineage-truncation
-    * job, so on a tiny match graph the loop is pure scheduling latency
-    * (measured: 28k edges → 22.8 s cold / 7.5 s warm at local[8], vs
-    * milliseconds of actual union-find work). The match graph after
-    * thresholding is routinely this small even when the scored pair space is
-    * billions — and when it is NOT (web-scale dedupe with giant clusters),
-    * the distributed loop below is the path taken. Same contract either way:
-    * component = min reachable node id.
+    * driver-side union-find over ONE bounded, streamed collect instead of the
+    * iterative self-join loop. Rationale: each large-star/small-star round is
+    * ~6 shuffle stages + a lineage-truncation job, so on a tiny match graph
+    * the loop is pure scheduling latency (measured: 28k edges → 22.8 s cold /
+    * 7.5 s warm at local[8], vs milliseconds of actual union-find work). The
+    * match graph after thresholding is routinely this small even when the
+    * scored pair space is billions — and when it is NOT (web-scale dedupe
+    * with giant clusters), the distributed loop below is the path taken.
+    * Same contract either way: component = min reachable node id.
+    *
+    * Driver memory at the cap is all-primitive: two long edge arrays (16 MB),
+    * a sorted node array (≤ 16 MB) and an int parent array (≤ 4 MB) — plus a
+    * transient boxed row batch while the result Dataset materializes. Raise
+    * `localMaxEdges` only with driver heap to match (~50 B/node transient).
     */
-  val LocalMaxEdges: Long = 4L << 20
+  val LocalMaxEdges: Long = 1L << 20
 
   /** edges: two long columns (src, dst). Returns (node, component) where
     * component = min node id reachable.
@@ -65,28 +69,48 @@ object ConnectedComponents {
     }
   }
 
-  /** Driver union-find over a bounded edge list: roots are always the
-    * minimum id of their set, so find(x) IS the component label. Attaching
-    * the larger root under the smaller (union-by-min) plus full path
-    * compression keeps this effectively linear at the ≤[[LocalMaxEdges]]
-    * sizes that reach it.
+  /** Driver union-find over a bounded edge list, all-primitive (no boxed
+    * maps): node ids are dense-indexed via a sorted array + binary search, so
+    * index order == id order and union-by-min-index with full path
+    * compression makes every root the minimum id of its set — find(x) IS the
+    * component label. Returns (nodes, components) as parallel arrays.
     */
-  private[operators] def unionFindLocal(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x0: Long): Long = {
+  private[operators] def unionFindLocal(
+      us: Array[Long], vs: Array[Long]): (Array[Long], Array[Long]) = {
+    val nE = us.length
+    val all = new Array[Long](2 * nE)
+    System.arraycopy(us, 0, all, 0, nE)
+    System.arraycopy(vs, 0, all, nE, nE)
+    java.util.Arrays.sort(all)
+    var m = 0 // unique in place
+    var j = 0
+    while (j < all.length) {
+      if (m == 0 || all(j) != all(m - 1)) { all(m) = all(j); m += 1 }
+      j += 1
+    }
+    val nodes = java.util.Arrays.copyOf(all, m)
+    val parent = new Array[Int](m)
+    var k = 0
+    while (k < m) { parent(k) = k; k += 1 }
+    def find(x0: Int): Int = {
       var x = x0
-      while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+      while (parent(x) != x) x = parent(x)
       var y = x0 // path compression
-      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      while (parent(y) != y) { val n = parent(y); parent(y) = x; y = n }
       x
     }
-    pairs.foreach { case (u, v) =>
-      val (ru, rv) = (find(u), find(v))
+    var i = 0
+    while (i < nE) {
+      val ru = find(java.util.Arrays.binarySearch(nodes, us(i)))
+      val rv = find(java.util.Arrays.binarySearch(nodes, vs(i)))
       if (ru < rv) parent(rv) = ru
       else if (rv < ru) parent(ru) = rv
+      i += 1
     }
-    pairs.iterator.flatMap { case (u, v) => Iterator(u, v) }.toSet.toSeq
-      .map((n: Long) => (n, find(n)))
+    val comp = new Array[Long](m)
+    k = 0
+    while (k < m) { comp(k) = nodes(find(k)); k += 1 }
+    (nodes, comp)
   }
 
   private def runInternal(
@@ -109,8 +133,17 @@ object ConnectedComponents {
 
     val nEdges = e.count()
     if (nEdges <= localMaxEdges) {
-      val local = unionFindLocal(e.as[(Long, Long)].collect())
-      return spark.createDataset(local).toDF("node", "component")
+      // streamed collect (partition at a time) into primitive arrays — the
+      // retained driver footprint is the two long arrays, not boxed rows
+      val n = nEdges.toInt
+      val us = new Array[Long](n)
+      val vs = new Array[Long](n)
+      val it = e.select($"u", $"v").toLocalIterator()
+      var i = 0
+      while (it.hasNext) { val r = it.next(); us(i) = r.getLong(0); vs(i) = r.getLong(1); i += 1 }
+      val (nodes, comp) = unionFindLocal(us, vs)
+      return spark.createDataset(nodes.indices.map(k => (nodes(k), comp(k))))
+        .toDF("node", "component")
     }
     // large graph: size the loop's shuffles to the data (the session's
     // pair-join partitioning is far too fine for long-pair iterations; fewer

@@ -35,7 +35,13 @@ object Linker {
       em: EmLink.EmResult, // final (root) stage EM
       childStages: Seq[StageResult],
       patternStats: DataFrame, // tiny: gamma cols + pattern_id/counts/weights/zeta_j
-      pairs: DataFrame) { // id_a, id_b, gammas, zeta_j [, final_zeta]
+      pairs: DataFrame, // id_a, id_b, gammas, zeta_j [, final_zeta]
+      /** The in-memory-persisted narrow gamma table when [[Linker.link]] ran
+        * with `persist=true, persistPath=None` — callers that are done with
+        * every derived DataFrame should `unpersist()` it to free executor
+        * memory (long-lived sessions; the Pipeline CLI's cache mode).
+        */
+      persistedBase: Option[DataFrame] = None) {
 
     /** The column `matches` thresholds on: the pair-level `final_zeta` when
       * TF adjustment ran, else the pattern-level `zeta_j`.
@@ -261,7 +267,14 @@ object Linker {
       fanoutPartitions: Option[Int] = None,
       pairFilter: Option[Column] = None,
       comparisonSpace: Option[(Long, Long) => Long] = None,
-      patternStage: (String, () => DataFrame) => DataFrame = (_, agg) => agg()): LinkResult = {
+      patternStage: (String, () => DataFrame) => DataFrame = (_, agg) => agg(),
+      /** Raw (nA, nB) side counts, known by the caller. Overrides the
+        * observed-metric path — REQUIRED whenever `patternStage` can resume
+        * pattern counts from a checkpoint while no gamma checkpoint exists
+        * (cache mode): the observed join never executes on such a resume and
+        * forcing its Observation would block forever.
+        */
+      dimsOverride: Option[(Long, Long)] = None): LinkResult = {
     val spark = dfA.sparkSession
     val allSpecs = cfg.comparisons.allVariables
     // Input sizes (numberOfComparisons, lambda-prior scaling) are observed
@@ -314,15 +327,16 @@ object Linker {
         // the extra job is trivial) instead of throwing key-not-found.
         def sideN(obs: org.apache.spark.sql.Observation, df: DataFrame): Long =
           obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(df.count())
-        val raw = resumedPath match {
+        val raw = dimsOverride.getOrElse(resumedPath match {
           // the observed join never executes on a resume — its Observation
           // would block forever; the inputs' row counts are row-scale scans
           case Some(_) => (dfA.count(), dfB.count())
           case None    => (sideN(obsA, dfA), sideN(obsB, dfB))
-        }
+        })
         comparisonSpace.fold(raw)(f => (f(raw._1, raw._2), 1L))
     }
 
+    var cachedBase: Option[DataFrame] = None
     var pairs: DataFrame = resumedPath match {
       case Some(done) => spark.read.parquet(done)
       case None =>
@@ -343,7 +357,9 @@ object Linker {
                 s"""{"fingerprint":"$fp","dims_a":${dims._1},"dims_b":${dims._2}}""")
               written
             case None =>
-              narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val p = narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              cachedBase = Some(p)
+              p
           }
         } else narrow
     }
@@ -397,6 +413,6 @@ object Linker {
     if (allSpecs.exists(_.tfAdjust))
       annotated = TermFrequency.adjust(annotated, allSpecs, emFinal, root.em.thresholdMatch)
 
-    LinkResult(cfg, emFinal, childResults.toSeq, stats, annotated)
+    LinkResult(cfg, emFinal, childResults.toSeq, stats, annotated, cachedBase)
   }
 }

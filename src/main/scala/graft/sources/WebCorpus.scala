@@ -137,13 +137,15 @@ object WebCorpus {
   def linkInput(spark: SparkSession, p: Params): DataFrame =
     pages(spark, p)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("title", concat_ws(" ", slice(col("toks"), 1, 3)))
-      .withColumn("mid3", concat_ws(" ", slice(col("toks"), 4, 3)))
-      .withColumn("tail3", concat_ws(" ", slice(col("toks"), 7, 3)))
-      .withColumn("tok1", element_at(col("toks"), 1))
-      .withColumn("n_tokens", size(col("toks")))
-      .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
-      .drop("toks")
+      .select(
+        col("page_id"),
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("title"),
+        concat_ws(" ", slice(col("toks"), 4, 3)).as("mid3"),
+        concat_ws(" ", slice(col("toks"), 7, 3)).as("tail3"),
+        element_at(col("toks"), 1).as("tok1"),
+        col("lang"),
+        size(col("toks")).as("n_tokens"),
+        concat_ws("|", Blocking.host(col("url")), col("lang")).as("block"))
 
   /** All intra-block (host+lang) labeled pairs:
     * (id_a, id_b, url_a, url_b, is_dup). This is the F1 ground truth at the

@@ -84,6 +84,44 @@ class CheckpointsSpec extends SparkSpec {
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("block", concat_ws("|", Blocking.host(col("url")), col("lang")))
 
+  test("cache gamma mode: same clusters as parquet mode, no pair-scale checkpoint") {
+    val rootP = tmpRoot()
+    val rootC = tmpRoot()
+    val pages = webPages(300)
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"),
+      col("n_tokens"), col("block"))
+    val cfg = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    def clustersOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val parquetMode = clustersOf(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), rootP))
+    val cacheMode = clustersOf(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), rootC, gammaMode = "cache"))
+    assert(cacheMode == parquetMode && cacheMode.nonEmpty)
+    // cache mode persists ONLY the sufficient statistics + outputs
+    assert(!Checkpoints.isComplete(rootC, "gammas"))
+    assert(Seq("patterns_web", "matches", "clusters")
+      .forall(Checkpoints.isComplete(rootC, _)))
+    // resume after losing the downstream stages: pattern counts are reused
+    // (EM identical), the pair join re-runs at most once
+    Seq("matches", "clusters").foreach(rmStageAt(rootC, _))
+    val resumed = clustersOf(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), rootC, gammaMode = "cache"))
+    assert(resumed == parquetMode)
+    // a drifted config against the same root fails fast via the run sidecar
+    Seq("matches", "clusters").foreach(rmStageAt(rootC, _))
+    val cfg2 = cfg.copy(comparisons = ComparisonGroup("web", Seq(
+      VariableSpec("title", "jarowinkler", cutA = 0.95, cutB = 0.88),
+      VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    val e = intercept[IllegalStateException](Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg2, Seq("block"), rootC, gammaMode = "cache"))
+    assert(e.getMessage.contains("DIFFERENT link configuration"))
+  }
+
   test("resume fails fast on a gamma checkpoint from a different configuration") {
     val root = tmpRoot()
     val pages = webPages(200)
@@ -237,6 +275,16 @@ class CheckpointsSpec extends SparkSpec {
       Checkpoints.appendDedupeIncrement(corpus, inc, "page_id", cfgTf,
         Seq("block"), root))
     assert(tf.getMessage.contains("TF"))
+  }
+
+  test("unordered pair count guards the Long-overflow bound") {
+    assert(Checkpoints.unorderedPairCount(0L) == 0L)
+    assert(Checkpoints.unorderedPairCount(5L) == 10L)
+    // exactly at the bound: 2^32 * (2^32 - 1) / 2 fits in a Long
+    assert(Checkpoints.unorderedPairCount(1L << 32) == (1L << 31) * ((1L << 32) - 1))
+    val e = intercept[IllegalArgumentException](
+      Checkpoints.unorderedPairCount((1L << 32) + 1))
+    assert(e.getMessage.contains("overflows"))
   }
 
   test("colliding comparison-group names are rejected (checkpoint stages collide)") {

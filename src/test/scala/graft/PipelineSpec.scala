@@ -82,6 +82,10 @@ class PipelineSpec extends SparkSpec {
     val summary = Pipeline.run(spark,
       Pipeline.parseArgs(base ++ Seq("--increment", s"$dir/day2.parquet")))
     assert(summary.contains(s""""increment":"$dir/day2.parquet""""), summary)
+    // the append rewrites the gamma sidecar and recomputes every downstream
+    // stage — NONE of them may be reported as resumed (a pre-run completeness
+    // snapshot would claim all four were)
+    assert(summary.contains(""""resumed_stages":[]"""), summary)
     val day2Nodes = spark.read.parquet(s"$dir/clusters.parquet")
       .select("node").collect().map(_.getLong(0)).toSet
     // increment-side nodes joined the graph alongside day-1 nodes (exact

@@ -526,6 +526,25 @@ object SparkEntry {
       Multimodal.sampleFrames(media, intervalMs = 60000L)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
+    }),
+    "q_extract_text" -> ((s, dir) => {
+      // per-row invariant (north star): text extracted from the html payload
+      // is byte-identical to the stored text. Embed each document's escaped
+      // text in a full page with script/style noise (including a FAKE
+      // </body> inside the script), extract with TextExtract.fromHtml, and
+      // report the md5 — the oracle is md5 of the ground-truth text itself,
+      // so any extraction drift hash-mismatches.
+      val page = concat(
+        lit("<html><head><title>meta title</title><style>p{color:red}</style>"),
+        lit("<script>var x = '<body>not text</body>';</script></head>"),
+        lit("<body class=\"c\"><p>"), TextExtract.htmlEscape(col("text")),
+        lit("</p></body></html>")).cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextExtract.fromHtml(page).as("extracted"),
+          col("text"))
+        .select(col("doc_id"), md5(col("extracted")).as("extracted_md5"),
+          (col("extracted") === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -740,5 +759,10 @@ object SparkEntry {
     "q_media_frames" ->
       """SELECT doc_id AS media_id,
         | cast(floor(((doc_id * 37) % 600000 + 1 - 1) / 60000) + 1 AS bigint) AS n_frames
-        |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""".stripMargin)
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""".stripMargin,
+    // ground truth IS the stored text: extraction must invert the embedding
+    // byte-for-byte, so the oracle never re-implements the extractor
+    "q_extract_text" ->
+      """SELECT doc_id, md5(text) AS extracted_md5, true AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -14,6 +14,8 @@
 # Usage: tools/run_pipeline_scaling.sh [workdir]
 #   env: NBASE=100000 NHOSTS=60 CPUS_N=2 CPUS_4N=8 REPS=2 CPUS_PEAK=32
 #        (CPUS_PEAK=0 skips the peak run)
+#        GAMMA_MODE=parquet|cache — pair-table checkpoint materialization
+#        (cache = sufficient-statistics checkpointing; no gamma parquet)
 set -euo pipefail
 
 WORK="${1:-/tmp/pipe_scaling}"
@@ -23,6 +25,7 @@ CPUS_N="${CPUS_N:-2}"
 CPUS_4N="${CPUS_4N:-8}"
 CPUS_PEAK="${CPUS_PEAK:-32}"
 REPS="${REPS:-2}"
+GAMMA_MODE="${GAMMA_MODE:-parquet}"
 CLASSES=/root/repo/target/scala-2.13/classes
 SUBMIT=/opt/spark/bin/spark-submit
 
@@ -66,7 +69,8 @@ run_level() { # run_level <cpus> <tag> <rep>  -> prints the summary JSON line
   rm -rf "$ckpt"
   ( cd "$WORK" && submit "$cpus" --class graft.Pipeline "$CLASSES" \
       --input-a "$PAGES" --config "$CONFIG" --block block \
-      --max-block-rows 1000 --checkpoint "$ckpt" --fanout 64 2>/dev/null \
+      --max-block-rows 1000 --checkpoint "$ckpt" --fanout 64 \
+      --gamma-checkpoint "$GAMMA_MODE" 2>/dev/null \
       | tail -1 )
   rm -rf "$ckpt"   # ~1.5 GB of gamma parquet per run — don't accumulate
 }
@@ -93,7 +97,7 @@ if [ "$CPUS_PEAK" != 0 ]; then
 fi
 
 WORK="$WORK" CPUS_N="$CPUS_N" CPUS_4N="$CPUS_4N" CPUS_PEAK="$CPUS_PEAK" \
-NBASE="$NBASE" NHOSTS="$NHOSTS" python3 <<'PYEOF'
+NBASE="$NBASE" NHOSTS="$NHOSTS" GAMMA_MODE="$GAMMA_MODE" python3 <<'PYEOF'
 import glob, json, os
 work = os.environ["WORK"]
 cn, c4, cp = int(os.environ["CPUS_N"]), int(os.environ["CPUS_4N"]), int(os.environ["CPUS_PEAK"])
@@ -106,18 +110,24 @@ def best_of(tag):
 best_n, all_n = best_of("N")
 best_4n, all_4n = best_of("4N")
 eff = (best_n["sec"] / best_4n["sec"]) / (c4 / cn)
-g_eff = (best_n["stages"]["gammas"]["sec"] / best_4n["stages"]["gammas"]["sec"]) / (c4 / cn)
+# cache mode persists no gammas stage — the per-stage breakdown then only
+# covers the sufficient-statistics stages
+has_gammas = "gammas" in best_n["stages"] and "gammas" in best_4n["stages"]
+g_eff = ((best_n["stages"]["gammas"]["sec"] / best_4n["stages"]["gammas"]["sec"])
+         / (c4 / cn)) if has_gammas else None
 out = {
     "job": {"n_base": int(os.environ["NBASE"]), "n_hosts": int(os.environ["NHOSTS"]),
             "config": "flagship 6-variable dedupe (bench parity)",
-            "comparisons": best_4n["stages"]["gammas"]["rows"]},
+            "comparisons": (best_4n["stages"]["gammas"]["rows"]
+                            if has_gammas else None),
+            "gamma_checkpoint": os.environ["GAMMA_MODE"]},
     "protocol": f"spark-submit graft.Pipeline, fresh JVM + fresh checkpoints per run, "
                 f"levels interleaved, min of {len(all_n)} reps per level",
     "cpus_n": cn, "cpus_4n": c4,
     "sec_n": best_n["sec"], "sec_4n": best_4n["sec"],
     "all_sec_n": all_n, "all_sec_4n": all_4n,
     "scaling_efficiency": round(eff, 3),
-    "scaling_efficiency_gammas": round(g_eff, 3),
+    "scaling_efficiency_gammas": round(g_eff, 3) if g_eff is not None else None,
     "stage_sec_n": {k: v["sec"] for k, v in best_n["stages"].items()},
     "stage_sec_4n": {k: v["sec"] for k, v in best_4n["stages"].items()},
 }
@@ -125,8 +135,9 @@ if cp and os.path.exists(f"{work}/run_peak.json"):
     pj = json.load(open(f"{work}/run_peak.json"))
     out["cpus_peak"] = cp
     out["sec_peak"] = pj["sec"]
-    out["pairs_per_sec_peak_gammas"] = round(
-        pj["stages"]["gammas"]["rows"] / pj["stages"]["gammas"]["sec"])
+    if "gammas" in pj["stages"]:
+        out["pairs_per_sec_peak_gammas"] = round(
+            pj["stages"]["gammas"]["rows"] / pj["stages"]["gammas"]["sec"])
 json.dump(out, open(f"{work}/SCALING.json", "w"), indent=1)
 print(json.dumps(out))
 PYEOF

@@ -112,5 +112,7 @@ object FastLink {
       blockCols = blockCols, maxBlockRows = maxBlockRows,
       fanoutPartitions = fanoutPartitions,
       pairFilter = Some(col("id_a") < col("id_b")),
-      comparisonSpace = Some((n, _) => n * (n - 1) / 2))
+      // NOT an inline n*(n-1)/2: that Long product silently wraps negative
+      // beyond ~3e9 rows; the shared BigInt form is exact at any scale
+      comparisonSpace = Some(operators.Checkpoints.dedupeComparisonSpace))
 }

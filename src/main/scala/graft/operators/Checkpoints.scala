@@ -216,7 +216,7 @@ object Checkpoints {
       maxBlockRows: Option[Long] = None,
       fanoutPartitions: Option[Int] = None,
       pairFilter: Option[org.apache.spark.sql.Column] = None,
-      comparisonSpace: Option[(Long, Long) => Long] = None,
+      comparisonSpace: Option[(Long, Long) => BigInt] = None,
       gammaMode: String = "parquet"): DataFrame = {
     val spark = dfA.sparkSession
     require(gammaMode == "parquet" || gammaMode == "cache",
@@ -293,19 +293,17 @@ object Checkpoints {
     * N(N-1)/2.
     */
   def dedupePairFilter: org.apache.spark.sql.Column = col("id_a") < col("id_b")
-  def dedupeComparisonSpace: (Long, Long) => Long = (n, _) => unorderedPairCount(n)
+  def dedupeComparisonSpace: (Long, Long) => BigInt = (n, _) => unorderedPairCount(n)
 
-  /** n*(n-1)/2 with an explicit overflow guard: the count exceeds Long at
-    * n > 2^32 (~4.3e9 rows). Per-table scale above that needs the comparison
-    * space tracked per blocking shard (where each shard's count fits) — fail
-    * fast rather than wrap negative and silently corrupt the EM lambda prior
-    * and the checkpoint drift guard.
+  /** n*(n-1)/2, exact at any row count: BigInt, because the comparison space
+    * exceeds Long precisely where the north star lives — n > 2^32 (~4.3e9
+    * rows) wraps a Long negative, and 10^12 documents give ~5e23. The EM
+    * consumes it as a Double prior scale (relative error ~1e-16 there);
+    * the checkpoint drift guard compares it exactly.
     */
-  private[graft] def unorderedPairCount(n: Long): Long = {
-    require(n >= 0 && n <= (1L << 32),
-      s"unordered pair count n*(n-1)/2 overflows Long for n=$n rows; " +
-        "track the comparison space per blocking shard at this scale")
-    if (n % 2 == 0) n / 2 * (n - 1) else (n - 1) / 2 * n
+  private[graft] def unorderedPairCount(n: Long): BigInt = {
+    require(n >= 0, s"row count must be non-negative, got $n")
+    BigInt(n) * BigInt(n - 1 max 0) / 2
   }
 
   /** Incremental dedupe: extends a completed `gammas` checkpoint (a
@@ -371,7 +369,7 @@ object Checkpoints {
         "(config / blocking / salting fingerprint mismatch) — appending would " +
         "mix incompatible comparisons")
     val storedSpace = """"dims_a":(-?[0-9]+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(-1L)
+      .map(m => BigInt(m.group(1))).getOrElse(BigInt(-1))
     val nC = corpus.count()
     val nI = increment.count()
     require(storedSpace == unorderedPairCount(nC),

@@ -44,7 +44,14 @@ object EmLink {
       pU: Double,
       iterConverge: Int,
       converged: Boolean,
-      numberOfComparisons: Long,
+      /** The FULL comparison space the lambda prior scales against (nA*nB,
+        * or N(N-1)/2 in dedupe mode) — BigInt because it exceeds Long
+        * exactly where the north star lives: nA*nB overflows at ~3e9x3e9 and
+        * N(N-1)/2 at N=2^32, while 10^12 documents give ~5e23. The SCORED
+        * pair counts ([[PatternStats.count]]) stay Long — actual blocked
+        * pairs, bounded by what was materialized.
+        */
+      numberOfComparisons: BigInt,
       patterns: Seq[PatternStats],
       /** per-feature, per observed level: P(gamma_k = level | M) */
       pGammaKM: Seq[Seq[Double]],
@@ -78,20 +85,33 @@ object EmLink {
     0.0 // unreachable
   }
 
+  /** Convenience overload for Long-sized inputs; the comparison space is
+    * computed in BigInt so `dims._1 * dims._2` cannot silently overflow.
+    */
   def run(
       patterns: Seq[Pattern],
       dims: (Long, Long),
       varnames: Seq[String],
-      opts: EmOptions = EmOptions()): EmResult = {
+      opts: EmOptions = EmOptions()): EmResult =
+    runBig(patterns, (BigInt(dims._1), BigInt(dims._2)), varnames, opts)
+
+  def runBig(
+      patterns: Seq[Pattern],
+      dims: (BigInt, BigInt),
+      varnames: Seq[String],
+      opts: EmOptions): EmResult = {
     val nFeatures = varnames.size
     require(patterns.forall(_.gammas.length == nFeatures), "pattern arity != varnames")
     val nPat = patterns.size
+    // the full comparison space (exact BigInt; Double only where it enters
+    // the prior arithmetic, which is Double anyway)
+    val space: BigInt = dims._1 * dims._2
     // Empty pattern table (e.g. one input side empty at runtime — an empty
     // increment table): a well-formed trivial result instead of NaN
     // parameters from 0/0 M-steps downstream.
     if (nPat == 0) {
       return EmResult(varnames, opts.pM0, 1 - opts.pM0, 0, converged = true,
-        numberOfComparisons = dims._1 * dims._2, patterns = Nil,
+        numberOfComparisons = space, patterns = Nil,
         pGammaKM = Seq.fill(nFeatures)(Nil), pGammaKU = Seq.fill(nFeatures)(Nil),
         uvals = Seq.fill(nFeatures)(Nil), thresholdMatch = opts.thresholdMatch)
     }
@@ -106,7 +126,7 @@ object EmLink {
       require(opts.wLambda > 0 && opts.wLambda <= 1, "w_lambda must be in (0,1]")
       val wl = if (opts.wLambda == 1.0) 1 - 1e-5 else opts.wLambda
       val cLambda = wl / (1 - wl)
-      mu = opts.priorLambda * cLambda * dims._1.toDouble * dims._2.toDouble + 1
+      mu = opts.priorLambda * cLambda * space.toDouble + 1
       psi = (1 - opts.priorLambda) * mu / opts.priorLambda
     }
     // ---- pi prior hyperparameters (emlink.jl:79-101) ----
@@ -119,7 +139,7 @@ object EmLink {
         require(opts.wPi > 0 && opts.wPi <= 1, "w_pi must be in (0,1]")
         val wp = if (opts.wPi == 1.0) 1 - 1e-5 else opts.wPi
         val cPi = wp / (1 - wp)
-        val expMatch = opts.priorLambda * dims._1.toDouble * dims._2.toDouble
+        val expMatch = opts.priorLambda * space.toDouble
         alpha0 = cPi * opts.priorPi * expMatch + 1
         alpha1 = alpha0 * (1 - opts.priorPi) / opts.priorPi
         varnames.map(opts.addressFields.contains).toArray
@@ -244,7 +264,7 @@ object EmLink {
       // post-increment iter to iterMax mislabels a run whose delta first
       // drops below tol exactly at iter == iterMax.
       varnames, pM, pU, iter, converged = delta < opts.tol,
-      numberOfComparisons = dims._1 * dims._2,
+      numberOfComparisons = space,
       patterns = stats,
       pGammaKM = pKM.map(_.toSeq).toSeq,
       pGammaKU = pKU.map(_.toSeq).toSeq,

@@ -266,7 +266,7 @@ object Linker {
       persistPath: Option[String] = None,
       fanoutPartitions: Option[Int] = None,
       pairFilter: Option[Column] = None,
-      comparisonSpace: Option[(Long, Long) => Long] = None,
+      comparisonSpace: Option[(Long, Long) => BigInt] = None,
       patternStage: (String, () => DataFrame) => DataFrame = (_, agg) => agg(),
       /** Raw (nA, nB) side counts, known by the caller. Overrides the
         * observed-metric path — REQUIRED whenever `patternStage` can resume
@@ -300,14 +300,16 @@ object Linker {
     // + the comparison-space dims pinned at write time, so a resume stays
     // EM-consistent with the checkpointed pattern counts even if the input
     // tables drifted since the original run
-    val storedMeta: Option[(String, Long, Long)] = resumedPath
+    val storedMeta: Option[(String, BigInt, BigInt)] = resumedPath
       .map(linkMetaAt).filter(Checkpoints.fileExists).map { p =>
         val json = Checkpoints.readFile(p)
+        // BigInt: the pinned comparison space exceeds Long beyond ~4.3e9
+        // rows per side (the 10^12-document regime)
         def grab(k: String) =
-          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(json).map(m => BigInt(m.group(1)))
         val f = """"fingerprint":"([0-9a-f]+)"""".r.findFirstMatchIn(json)
           .map(_.group(1)).getOrElse("")
-        (f, grab("dims_a").getOrElse(-1L), grab("dims_b").getOrElse(-1L))
+        (f, grab("dims_a").getOrElse(BigInt(-1)), grab("dims_b").getOrElse(BigInt(-1)))
       }
     storedMeta.foreach { case (storedFp, _, _) =>
       if (storedFp != fp) throw new IllegalStateException(
@@ -317,7 +319,7 @@ object Linker {
           "checkpoint directory or rerun with the original configuration")
     }
 
-    lazy val dims: (Long, Long) = storedMeta match {
+    lazy val dims: (BigInt, BigInt) = storedMeta match {
       case Some((_, a, b)) if a >= 0 => (a, b)
       case _ =>
         // When a side is empty at runtime (e.g. an empty increment table),
@@ -333,7 +335,8 @@ object Linker {
           case Some(_) => (dfA.count(), dfB.count())
           case None    => (sideN(obsA, dfA), sideN(obsB, dfB))
         })
-        comparisonSpace.fold(raw)(f => (f(raw._1, raw._2), 1L))
+        comparisonSpace.fold((BigInt(raw._1), BigInt(raw._2)))(f =>
+          (f(raw._1, raw._2), BigInt(1)))
     }
 
     var cachedBase: Option[DataFrame] = None
@@ -373,7 +376,7 @@ object Linker {
         val p = pairs // freeze the var for the deferred aggregate
         patternStage(g.name, () => Patterns.aggregate(p, vars))
       }
-      val em = EmLink.run(Patterns.collect(patternDf, vars), dims, vars, g.em)
+      val em = EmLink.runBig(Patterns.collect(patternDf, vars), dims, vars, g.em)
       childResults += StageResult(g, em)
       // Non-final threshold uses sigmoid(weight), NOT zeta (reference
       // `get_match_patternids` via bf_to_probability, patterns.jl:143-153,:200)
@@ -404,7 +407,7 @@ object Linker {
       val p = pairs
       patternStage(root.name, () => Patterns.aggregate(p, rootVars))
     }
-    val emFinal = EmLink.run(
+    val emFinal = EmLink.runBig(
       Patterns.collect(rootPatternDf, rootVars), dims, rootVars, root.em)
     val stats = Patterns.statsDf(spark, emFinal)
     var annotated = Patterns.attach(pairs, stats, rootVars)

@@ -277,14 +277,31 @@ class CheckpointsSpec extends SparkSpec {
     assert(tf.getMessage.contains("TF"))
   }
 
-  test("unordered pair count guards the Long-overflow bound") {
+  test("unordered pair count is exact past the Long bound (10^12-doc regime)") {
     assert(Checkpoints.unorderedPairCount(0L) == 0L)
+    assert(Checkpoints.unorderedPairCount(1L) == 0L)
     assert(Checkpoints.unorderedPairCount(5L) == 10L)
-    // exactly at the bound: 2^32 * (2^32 - 1) / 2 fits in a Long
+    // the last count that fits a Long: 2^32 * (2^32 - 1) / 2
     assert(Checkpoints.unorderedPairCount(1L << 32) == (1L << 31) * ((1L << 32) - 1))
-    val e = intercept[IllegalArgumentException](
-      Checkpoints.unorderedPairCount((1L << 32) + 1))
-    assert(e.getMessage.contains("overflows"))
+    // past it, the Long form would wrap negative; the BigInt form is exact
+    assert(Checkpoints.unorderedPairCount((1L << 32) + 1) ==
+      BigInt("9223372039002259456"))
+    // the north-star scale: 10^12 documents
+    assert(Checkpoints.unorderedPairCount(1000000000000L) ==
+      BigInt("499999999999500000000000"))
+  }
+
+  test("EM lambda prior and reported comparison space survive 10^12-doc dims") {
+    val pats = Seq(
+      EmLink.Pattern(Array(2, 2), 50L),
+      EmLink.Pattern(Array(0, 0), 1000000L),
+      EmLink.Pattern(Array(2, 0), 300L))
+    val space = Checkpoints.unorderedPairCount(1000000000000L)
+    val res = EmLink.runBig(pats, (space, BigInt(1)), Seq("a", "b"),
+      EmOptions(priorLambda = 1e-18, wLambda = 0.5))
+    assert(res.numberOfComparisons == space) // exact, no negative wrap
+    assert(res.pM > 0 && res.pM < 1 && !res.pM.isNaN)
+    assert(res.converged)
   }
 
   test("colliding comparison-group names are rejected (checkpoint stages collide)") {

@@ -215,13 +215,15 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       }._2
       val first = once()
-      val sec =
-        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt <= 1) first // quick smoke
-        else {
-          spark.catalog.clearCache()
-          SparkEntry.clearEmMemo() // rep 2 must re-run the pipeline, not a memo
-          math.min(first, once())
-        }
+      // honor the REPS count (min reported): <=1 means quick smoke, 1 rep;
+      // k>=2 runs exactly k reps with caches/memos cleared between them
+      val phase1Reps =
+        math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+      val sec = (1 until phase1Reps).foldLeft(first) { (best, _) =>
+        spark.catalog.clearCache()
+        SparkEntry.clearEmMemo() // each rep must re-run the pipeline, not a memo
+        math.min(best, once())
+      }
       System.err.println(f"[bench] $name%-20s $sec%8.2f s" +
         (if (first != sec) f" (rep1 $first%.2f)" else ""))
       name -> sec
@@ -260,7 +262,7 @@ object Bench {
     // harness timeout mid-run still leaves a parseable BENCH.json with
     // everything measured so far (a killed process prints no stdout line).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + Fmt.num(v, 3) }
       .mkString("{", ",", "}")
     var total = queryTimes.map(_._2).sum
     val lk = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -285,8 +287,8 @@ object Bench {
     val peakStats = peakStatsAny.asInstanceOf[RunStats]
     spark.stop()
     lk("cpus_peak") = cpusPeak.toString
-    lk("sec_peak") = f"$secPeak%.3f"
-    lk("pairs_per_sec_peak") = f"${peakStats.nComparisons / secPeak}%.0f"
+    lk("sec_peak") = Fmt.num(secPeak, 3)
+    lk("pairs_per_sec_peak") = Fmt.num(peakStats.nComparisons / secPeak, 0)
     writeSnapshot()
 
     spark = session(cpus4N)
@@ -297,24 +299,24 @@ object Bench {
     lk("n_comparisons") = stats4N.nComparisons.toString
     lk("n_matched") = stats4N.nMatched.toString
     lk("n_clusters") = stats4N.nClusters.toString
-    lk("pairwise_f1") = f"${stats4N.f1}%.4f"
+    lk("pairwise_f1") = Fmt.num(stats4N.f1, 4)
     lk("cpus_n") = cpusN.toString
     lk("cpus_4n") = cpus4N.toString
-    lk("sec_4n") = f"$sec4N%.3f"
-    lk("pairs_per_sec_4n") = f"${stats4N.nComparisons / sec4N}%.0f"
+    lk("sec_4n") = Fmt.num(sec4N, 3)
+    lk("pairs_per_sec_4n") = Fmt.num(stats4N.nComparisons / sec4N, 0)
     writeSnapshot()
     // heavy phase (pairs+gammas only) at the same level, half size
     scorePhase(spark, benchBase / 4, nHosts) // warmup
     spark.catalog.clearCache()
     val (_, secScore4N) = bestOf(s"score 4N=$cpus4N", repsOther,
       scorePhase(_, benchBase / 2, nHosts))
-    lk("sec_score_4n") = f"$secScore4N%.3f"
+    lk("sec_score_4n") = Fmt.num(secScore4N, 3)
     // reference-style per-variable timings (once, at the 4N level)
     val benchtimes = perVariableTimes(spark, benchBase / 2, nHosts)
     benchtimes.foreach { case (v, s) =>
       System.err.println(f"[bench] benchtime $v%-12s $s%6.2f s") }
     lk("benchtimes") = benchtimes
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + Fmt.num(v, 3) }
       .mkString("{", ",", "}")
     spark.stop()
     writeSnapshot()
@@ -327,18 +329,18 @@ object Bench {
     val statsN = statsNAny.asInstanceOf[RunStats]
     val thrN = statsN.nComparisons / secN
     val eff = ((stats4N.nComparisons / sec4N) / thrN) / (cpus4N.toDouble / cpusN)
-    lk("sec_n") = f"$secN%.3f"
-    lk("pairs_per_sec_n") = f"$thrN%.0f"
-    lk("scaling_efficiency") = f"$eff%.3f"
+    lk("sec_n") = Fmt.num(secN, 3)
+    lk("pairs_per_sec_n") = Fmt.num(thrN, 0)
+    lk("scaling_efficiency") = Fmt.num(eff, 3)
     writeSnapshot()
     scorePhase(spark, benchBase / 4, nHosts) // warmup
     spark.catalog.clearCache()
     val (_, secScoreN) = bestOf(s"score N=$cpusN", repsOther,
       scorePhase(_, benchBase / 2, nHosts))
     spark.stop()
-    lk("sec_score_n") = f"$secScoreN%.3f"
+    lk("sec_score_n") = Fmt.num(secScoreN, 3)
     lk("scaling_efficiency_score") =
-      f"${(secScoreN / secScore4N) / (cpus4N.toDouble / cpusN)}%.3f"
+      Fmt.num((secScoreN / secScore4N) / (cpus4N.toDouble / cpusN), 3)
 
     // File first (survives any stdout mangling by the invoking harness),
     // then the bare final stdout line.

@@ -65,12 +65,21 @@ object Pipeline {
       increment: Option[String] = None,
       gammaMode: String = "parquet")
 
+  private val knownFlags = Set("input-a", "input-b", "config", "block",
+    "checkpoint", "out", "max-block-rows", "fanout", "increment",
+    "gamma-checkpoint")
+
   def parseArgs(argv: Seq[String]): Args = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var rest = argv.toList
     while (rest.nonEmpty) rest match {
       case flag :: value :: tail if flag.startsWith("--") =>
-        m(flag.stripPrefix("--")) = value; rest = tail
+        val k = flag.stripPrefix("--")
+        // a misspelled flag must fail, not silently fall back to defaults —
+        // e.g. --max-blockrows would run the pipeline unsalted
+        if (!knownFlags(k)) throw new IllegalArgumentException(
+          s"unknown flag --$k (known: ${knownFlags.toSeq.sorted.mkString(", ")})")
+        m(k) = value; rest = tail
       case bad :: _ =>
         throw new IllegalArgumentException(s"unpaired argument: $bad")
     }
@@ -194,7 +203,7 @@ object Pipeline {
     val stageJson = stages.flatMap { s =>
       infosAfter.get(s).map { i =>
         s""""$s":{"rows":${i.rows},"partitions":${i.partitions},""" +
-          f""""sec":${i.secs}%.2f,""" +
+          s""""sec":${Fmt.num(i.secs, 2)},""" +
           s""""resumed":${resumed.contains(s)},"written_at_ms":${i.writtenAtMs}}"""
       }
     }.mkString("{", ",", "}")
@@ -203,7 +212,7 @@ object Pipeline {
       s""""increment":${args.increment.map("\"" + _ + "\"").getOrElse("null")},""" +
       s""""resumed_stages":${resumed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""out":${args.out.map("\"" + _ + "\"").getOrElse("null")},""" +
-      f""""sec":$sec%.2f}"""
+      s""""sec":${Fmt.num(sec, 2)}}"""
   }
 
   def main(argv: Array[String]): Unit = {

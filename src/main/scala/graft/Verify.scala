@@ -160,7 +160,7 @@ object Verify {
         record(name) =
           s"""{"rows":$rows,"schema":[${schema.map(q).mkString(",")}],""" +
             s""""hash":${q(hash)},"has_oracle":${hasOracle(name)},""" +
-            f""""sec":$sec%.2f,"err":null}"""
+            s""""sec":${Fmt.num(sec, 2)},"err":null}"""
         ok += 1
         System.err.println(f"[verify] $name%-20s ok $sec%.1f s ($rows rows, $hash)")
       } catch { case e: Throwable =>

@@ -113,7 +113,7 @@ object Checkpoints {
       s"""{"stage":"${info.stage}","rows":${info.rows},""" +
         s""""partitions":${info.partitions},""" +
         s""""per_partition_rows":[${info.perPartitionRows.mkString(",")}],""" +
-        f""""sec":${info.secs}%.2f,""" +
+        s""""sec":${graft.Fmt.num(info.secs, 2)},""" +
         s""""written_at_ms":${info.writtenAtMs}}"""
     writeFile(metaAt(path), json)
     info
@@ -126,7 +126,8 @@ object Checkpoints {
   private def trace(msg: String): Unit = if (traceEnabled)
     System.err.println(f"[pipeline-trace] ${(System.nanoTime() - traceT0) / 1e9}%8.3fs  $msg")
 
-  def materializeAt(spark: SparkSession, path: String)(df: => DataFrame): DataFrame = {
+  def materializeAt(spark: SparkSession, path: String,
+      beforeComplete: () => Unit = () => ())(df: => DataFrame): DataFrame = {
     if (!isCompleteAt(path)) {
       // stage wall time covers compute + parquet write (the post-write
       // lineage-counter pass is excluded — the trace prints it as "+ meta");
@@ -136,6 +137,11 @@ object Checkpoints {
       val d = df
       d.write.mode("overwrite").parquet(path)
       val computed = (System.nanoTime() - t0) / 1e9
+      // companion sidecars (e.g. the gamma stage's fingerprint+dims link
+      // sidecar) must land BEFORE the completeness flip: a crash between the
+      // two would otherwise leave a resumable stage whose drift guard is
+      // silently gone — a later run would resume it with no config check
+      beforeComplete()
       writeMetaFor(spark, path, secs = computed)
       trace(f"stage end:   $path ($computed%.2fs + meta)")
     }
@@ -228,9 +234,8 @@ object Checkpoints {
     require(names.distinct == names,
       s"comparison group names must be unique (checkpoint stages collide): " +
         names.diff(names.distinct).distinct.mkString(", "))
-    val dimsOverride = if (gammaMode == "cache")
-      Some(pinnedRunDims(dfA, dfB, cfg, blockCols, maxBlockRows, pairFilter, root))
-    else None
+    val dimsOverride = runSidecar(dfA, dfB, cfg, blockCols, maxBlockRows,
+      pairFilter, root, needDims = gammaMode == "cache")
     val result = Linker.link(dfA, dfB, cfg, blockCols,
       maxBlockRows = maxBlockRows,
       persistPath = if (gammaMode == "parquet") Some(dir(root, "gammas")) else None,
@@ -255,22 +260,26 @@ object Checkpoints {
     clusters
   }
 
-  /** Cache-mode run sidecar at the checkpoint root: the config/blocking
-    * fingerprint plus the raw side counts, pinned at first run. A resume
-    * validates the fingerprint (stale-config protection — same guarantee the
-    * parquet mode stores beside the gamma table) and reuses the pinned
-    * counts so the EM stays consistent with the checkpointed pattern counts
-    * even if the input tables drifted since.
+  /** Run sidecar at the checkpoint root: the config/blocking fingerprint,
+    * plus (cache mode) the raw side counts pinned at first run. EVERY mode
+    * validates the fingerprint: the per-stage `patterns_*`/`matches`/
+    * `clusters` checkpoints trust directory names alone, so without a
+    * root-level guard a parquet-mode run of config Y at a root previously
+    * used by a cache-mode run of config X (no gammas checkpoint on disk to
+    * carry the gamma-stage guard) would silently resume X's pattern counts
+    * into Y's EM. Cache mode additionally reuses the pinned counts so the
+    * EM stays consistent with the checkpointed pattern counts even if the
+    * input tables drifted since.
     */
-  private def pinnedRunDims(
+  private def runSidecar(
       dfA: DataFrame, dfB: DataFrame, cfg: graft.config.MatchConfig,
       blockCols: Seq[String], maxBlockRows: Option[Long],
       pairFilter: Option[org.apache.spark.sql.Column],
-      root: String): (Long, Long) = {
+      root: String, needDims: Boolean): Option[(Long, Long)] = {
     val fp = Linker.checkpointFingerprint(cfg, blockCols, maxBlockRows, pairFilter)
     val runMeta = s"$root/_graft_run.json"
-    if (fileExists(runMeta)) {
-      val json = readFile(runMeta)
+    val existing = if (fileExists(runMeta)) Some(readFile(runMeta)) else None
+    existing.foreach { json =>
       val storedFp = """"fingerprint":"([0-9a-f]+)"""".r.findFirstMatchIn(json)
         .map(_.group(1)).getOrElse("")
       if (storedFp != fp) throw new IllegalStateException(
@@ -278,13 +287,21 @@ object Checkpoints {
           "(config / blocking / salting / pair-filter fingerprint mismatch) — " +
           "resuming would serve stale pattern counts; clear the checkpoint " +
           "directory or rerun with the original configuration")
-      def grab(k: String) =
-        s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
-      (grab("n_a").getOrElse(-1L), grab("n_b").getOrElse(-1L))
-    } else {
+    }
+    def grab(json: String, k: String) =
+      s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val stored = existing.flatMap(j =>
+      for { a <- grab(j, "n_a"); b <- grab(j, "n_b") } yield (a, b))
+    if (!needDims) {
+      // parquet mode: fingerprint-only pin — no eager side counts (the gamma
+      // stage pins exact dims in its own link sidecar); keep an existing
+      // cache-mode sidecar's counts untouched
+      if (existing.isEmpty) writeFile(runMeta, s"""{"fingerprint":"$fp"}""")
+      None
+    } else stored.orElse {
       val d = (dfA.count(), dfB.count()) // row-scale (parquet: footer-only)
       writeFile(runMeta, s"""{"fingerprint":"$fp","n_a":${d._1},"n_b":${d._2}}""")
-      d
+      Some(d)
     }
   }
 
@@ -407,10 +424,13 @@ object Checkpoints {
     deleteRecursive(linkMeta)
     val tAppend = System.nanoTime()
     gIC.unionByName(gII).write.mode("append").parquet(gdir)
-    writeMetaFor(spark, gdir, secs = (System.nanoTime() - tAppend) / 1e9)
     val n = nC + nI
+    // link sidecar BEFORE the completeness flip: a crash between the two
+    // must leave the stage incomplete (clean recompute), never complete
+    // without its fingerprint/dims drift guard
     Checkpoints.writeFile(linkMeta,
       s"""{"fingerprint":"$fp","dims_a":${unorderedPairCount(n)},"dims_b":1}""")
+    writeMetaFor(spark, gdir, secs = (System.nanoTime() - tAppend) / 1e9)
 
     // recompute the downstream stages over the combined pair table (pattern
     // counts + driver EM + threshold + clustering: cheap relative to the

@@ -353,12 +353,15 @@ object Linker {
         if (persist) {
           persistPath match {
             case Some(dir) =>
-              val written = Checkpoints.materializeAt(spark, dir)(narrow)
-              // the write action above resolved the side observations; pin
-              // the fingerprint + comparison-space dims beside the data
-              Checkpoints.writeFile(linkMetaAt(dir),
-                s"""{"fingerprint":"$fp","dims_a":${dims._1},"dims_b":${dims._2}}""")
-              written
+              // the parquet write resolves the side observations; pin the
+              // fingerprint + comparison-space dims beside the data BEFORE
+              // the stage flips complete (beforeComplete runs between the
+              // data write and the completeness sidecar) — a crash in that
+              // window must leave the stage incomplete, never complete
+              // without its drift guard
+              Checkpoints.materializeAt(spark, dir, beforeComplete = () =>
+                Checkpoints.writeFile(linkMetaAt(dir),
+                  s"""{"fingerprint":"$fp","dims_a":${dims._1},"dims_b":${dims._2}}"""))(narrow)
             case None =>
               val p = narrow.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               cachedBase = Some(p)

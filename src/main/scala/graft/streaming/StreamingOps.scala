@@ -106,9 +106,14 @@ object StreamingOps {
     // Blocking.minhashSignature (and per-arrival cost matters here); also
     // yields MaxValue (not null) components for shingle-less docs, which the
     // Seq[Long] encoder would reject
-    val sig = graft.functions.GraftFunctions.minhashSig(
-      Dedup.distinctShingles(col(textCol), shingleSize), numHashes)
+    val shingles = Dedup.distinctShingles(col(textCol), shingleSize)
+    val sig = graft.functions.GraftFunctions.minhashSig(shingles, numHashes)
     val banded = docs
+      // shingle-less docs (text shorter than the shingle size) all share the
+      // kernel's sentinel all-MaxValue signature — unfiltered they collide in
+      // every band bucket and emit spurious est=1.0 "near-dup" pairs with
+      // every other empty doc; the batch path applies the same cut
+      .where(size(shingles) > 0)
       .select(col(idCol).cast("long").as("id"), sig.as("sig"))
       .select(col("id"), col("sig"),
         posexplode(Blocking.bandKeys(col("sig"), bands, rows)).as(Seq("band", "bucket")))

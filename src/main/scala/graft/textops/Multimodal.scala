@@ -217,7 +217,11 @@ object Multimodal {
     * back to the marked [[decodeStub]], as does any unreadable payload.
     */
   def decodeVideo(payload: Array[Byte], dim: Int): Array[Float] = {
-    if (payload == null || dim < 4) return null
+    if (payload == null) return null
+    // the pipeline contract is "null features only for a null payload"; a
+    // dim too small for the [count,w,h,lum...] layout degrades to the
+    // deterministic stub features rather than misreporting the row as absent
+    if (dim < 4) return decodeStub(payload, dim)
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case _: Throwable => return decodeStub(payload, dim) }

@@ -122,6 +122,51 @@ class CheckpointsSpec extends SparkSpec {
     assert(e.getMessage.contains("DIFFERENT link configuration"))
   }
 
+  test("cross-mode drift fails fast: cache-mode root rejected by a drifted parquet run") {
+    val root = tmpRoot()
+    val pages = webPages(200)
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"),
+      col("n_tokens"), col("block"))
+    def cfgWith(cutA: Double) = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = cutA, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    // cache-mode run of config X leaves NO gammas checkpoint — only the
+    // pattern-count/matches/clusters stages plus the root run sidecar
+    assert(Checkpoints.linkAndClusterResumable(side("ida"), side("idb"),
+      cfgWith(0.92), Seq("block"), root, gammaMode = "cache").count() > 0)
+    // a parquet-mode run of config Y at the same root has no gamma-stage
+    // sidecar to guard it; without the root-level fingerprint check it would
+    // silently resume X's patterns_web counts into Y's EM
+    Seq("matches", "clusters").foreach(rmStageAt(root, _))
+    val e = intercept[IllegalStateException](Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfgWith(0.95), Seq("block"), root))
+    assert(e.getMessage.contains("DIFFERENT link configuration"))
+    // the ORIGINAL config still runs in parquet mode against the same root
+    assert(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfgWith(0.92), Seq("block"), root).count() > 0)
+  }
+
+  test("completeness flips only after companion sidecars land (crash-window ordering)") {
+    val dir = tmpRoot() + "/stage"
+    val df = spark.range(10).toDF("x")
+    // a crash between the data write and the companion sidecar (e.g. the
+    // gamma stage's fingerprint/dims link sidecar) must leave the stage
+    // INCOMPLETE — a clean recompute — never complete with no drift guard
+    val e = intercept[RuntimeException](Checkpoints.materializeAt(spark, dir,
+      beforeComplete = () => throw new RuntimeException("simulated crash"))(df))
+    assert(e.getMessage.contains("simulated crash"))
+    assert(!Checkpoints.isCompleteAt(dir))
+    // the retry recomputes, runs the hook, then flips complete
+    var hookRan = false
+    Checkpoints.materializeAt(spark, dir, beforeComplete = () => hookRan = true)(df)
+    assert(hookRan && Checkpoints.isCompleteAt(dir))
+    // a resume never re-runs the hook (the sidecar is already on disk)
+    Checkpoints.materializeAt(spark, dir,
+      beforeComplete = () => fail("hook must not run on resume"))(df)
+  }
+
   test("resume fails fast on a gamma checkpoint from a different configuration") {
     val root = tmpRoot()
     val pages = webPages(200)

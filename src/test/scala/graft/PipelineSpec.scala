@@ -137,4 +137,24 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Pipeline.parseArgs(Seq("--input-a", "x"))) // missing --config/--checkpoint
   }
+
+  test("pipeline arg parsing rejects unknown flags instead of defaulting silently") {
+    // a typo'd --max-blockrows would otherwise run the pipeline UNSALTED
+    val e = intercept[IllegalArgumentException](Pipeline.parseArgs(Seq(
+      "--input-a", "a.parquet", "--config", "c.json", "--checkpoint", "r",
+      "--max-blockrows", "1000")))
+    assert(e.getMessage.contains("unknown flag --max-blockrows"))
+  }
+
+  test("machine-parsed JSON numbers are locale-pinned") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      // the f-interpolator really is default-locale-sensitive (the bug):
+      assert(f"${0.5}%.2f" == "0,50")
+      // ...and every sidecar/summary number goes through the pinned helper
+      assert(Fmt.num(0.5, 2) == "0.50")
+      assert(Fmt.num(1234.5678, 3) == "1234.568")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

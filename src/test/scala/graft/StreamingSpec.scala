@@ -59,6 +59,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: shingle-less docs never collide as spurious pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.nearDupStream(docs, "doc_id", "text",
+        threshold = 0.4, shingleSize = 3, numHashes = 16, bands = 4)
+      .writeStream.format("memory").queryName("neardup_empty_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // every doc is below the 3-token shingle size: the signature kernel's
+      // sentinel all-MaxValue output would band-collide them pairwise as
+      // est=1.0 "near-dups" without the size(shingles) > 0 cut (the batch
+      // path applies the same filter)
+      input.addData((1L, ""), (2L, "one two"), (3L, ""), (4L, "x"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_empty_out").count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming near-dup: bucket overflow is counted, not silent") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"

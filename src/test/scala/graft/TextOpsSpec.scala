@@ -447,6 +447,10 @@ class TextOpsSpec extends SparkSpec {
     // codec formats / unreadable payloads fall back to the marked stub
     val junk = "not a video".getBytes
     assert(Multimodal.decodeVideo(junk, 16).toSeq == Multimodal.decodeStub(junk, 16).toSeq)
+    // contract: null features ONLY for a null payload — a dim too small for
+    // the [count,w,h,lum...] layout degrades to stub features, never null
+    assert(Multimodal.decodeVideo(gif, 3).toSeq == Multimodal.decodeStub(gif, 3).toSeq)
+    assert(Multimodal.decodeVideo(null, 16) == null)
     // through the pipeline: video rows get real decoded features (feature[1]
     // = feature[2] = 8 px and frame count 2..5 fingerprint the GIF decoder)
     val media = Multimodal.syntheticMedia(docs.limit(60), "doc_id", "text")

@@ -399,5 +399,16 @@ class CheckpointsSpec extends SparkSpec {
       side("ida").withColumn("title", lit("POISON")), side("idb"),
       cfg, Seq("block"), root)
     assert(resumed.count() == n1)
+
+    // the hierarchical + TF config runs in cache gamma mode too, clusters
+    // identical to parquet mode (the multi-stage pattern materialization and
+    // the TF denominators all ride the cached pair table)
+    val rootC = tmpRoot()
+    val cacheClusters = Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), rootC, gammaMode = "cache")
+    def clusterSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusterSet(cacheClusters) == clusterSet(clusters))
+    assert(!Checkpoints.isComplete(rootC, "gammas")) // no pair-scale artifact
   }
 }

@@ -545,6 +545,32 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("extracted")).as("extracted_md5"),
           (col("extracted") === col("text")).as("roundtrip"))
         .orderBy("doc_id")
+    }),
+    "q_url_canon" -> ((s, dir) => {
+      // canonical-URL dedup key + SURT partition key (the first pass of web
+      // dedup): synthesize a messy crawl URL from KNOWN components —
+      // uppercase scheme/host, default ports, trailing host dot, scrambled +
+      // tracking query params, fragment — then canonicalize. The oracle
+      // asserts the known canonical form built from the same components; it
+      // never re-implements the parser, so any canonicalization drift
+      // hash-mismatches.
+      val d = col("doc_id")
+      val ds = d.cast("string")
+      val messy = concat(
+        when(pmod(d, lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://WWW."), col("source"), lit(".Example.COM"),
+        when(pmod(d, lit(5)) === 0, lit(".")).otherwise(lit("")),
+        when(pmod(d, lit(3)) === 0,
+          when(pmod(d, lit(2)) === 0, lit(":80")).otherwise(lit(":443")))
+          .when(pmod(d, lit(7)) === 0, lit(":8080")).otherwise(lit("")),
+        when(pmod(d, lit(11)) === 0, lit(""))
+          .otherwise(concat(lit("/Docs/"), col("lang"), lit("/"), ds)),
+        lit("?utm_source=feed&b=2&a=1&fbclid=XYZ#sec"), ds)
+      t(s, dir, "documents")
+        .select(d.as("doc_id"),
+          UrlOps.canonicalUrl(messy).as("url_canon"),
+          UrlOps.surtKey(messy).as("surt_key"))
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -764,5 +790,22 @@ object SparkEntry {
     // byte-for-byte, so the oracle never re-implements the extractor
     "q_extract_text" ->
       """SELECT doc_id, md5(text) AS extracted_md5, true AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the expected canonical form rebuilt directly from the synthesis
+    // components (never by re-parsing the messy URL): scheme/host lowered,
+    // default ports and trailing dot gone, :8080 kept, empty path -> '/',
+    // tracking params gone, surviving params sorted, fragment gone
+    "q_url_canon" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+        |   || '://www.' || lower(source) || '.example.com'
+        |   || CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 0 THEN ':8080' ELSE '' END
+        |   || CASE WHEN doc_id % 11 = 0 THEN '/'
+        |        ELSE '/Docs/' || lang || '/' || doc_id END
+        |   || '?a=1&b=2' AS url_canon,
+        | 'com,example,' || lower(source) || ',www)'
+        |   || CASE WHEN doc_id % 11 = 0 THEN '/'
+        |        ELSE '/Docs/' || lang || '/' || doc_id END
+        |   || '?a=1&b=2' AS surt_key
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -72,6 +72,52 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  private val Amp = UTF8String.fromString("&")
+  private val Comma = UTF8String.fromString(",")
+  /** Query parameters dropped by [[canonQuery]]: pure click-tracking
+    * identifiers that never change the resource (the standard list).
+    */
+  val trackingParamRegex: String =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
+  private val trackingPattern = java.util.regex.Pattern.compile(trackingParamRegex)
+
+  /** Canonical query string: split on `&`, drop empty components and
+    * click-tracking parameters, byte-sort the survivors (UTF8String binary
+    * order — the order DuckDB's varchar sort and Spark's string `<` use for
+    * the ASCII range query strings live in), join with `&`. One kernel call
+    * instead of filter/array_sort/array_join HOF lambdas, which are
+    * CodegenFallback and would knock URL canonicalization out of
+    * whole-stage codegen.
+    */
+  def canonQuery(query: UTF8String): UTF8String = {
+    val parts = query.toString.split("&", -1)
+    val kept = new java.util.ArrayList[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.nonEmpty && !trackingPattern.matcher(p).matches())
+        kept.add(UTF8String.fromString(p))
+      i += 1
+    }
+    java.util.Collections.sort(kept) // UTF8String: binary byte order
+    UTF8String.concatWs(Amp, kept.toArray(new Array[UTF8String](0)).toSeq: _*)
+  }
+
+  /** Host labels reversed and comma-joined (`www.example.com` →
+    * `com,example,www`) — the SURT sort-key core, as one kernel call for the
+    * same codegen reason as [[canonQuery]].
+    */
+  def reverseLabels(host: UTF8String): UTF8String = {
+    val parts = host.toString.split("\\.", -1)
+    val out = new Array[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      out(i) = UTF8String.fromString(parts(parts.length - 1 - i))
+      i += 1
+    }
+    UTF8String.concatWs(Comma, out.toSeq: _*)
+  }
+
   /** 64-bit SimHash of a token array in ONE pass: per-bit majority vote of
     * `xxhash64(token)` (= `XXH64.hashUTF8String(t, 42)`; null token → 42,
     * matching the hash expression's null-child behavior), bit set iff

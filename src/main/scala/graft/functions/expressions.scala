@@ -171,6 +171,38 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Canonical query string — see [[TextKernels.canonQuery]]. */
+case class CanonQuery(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.canonQuery(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.canonQuery($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "canon_query"
+}
+
+/** Reversed host labels — see [[TextKernels.reverseLabels]]. */
+case class ReverseLabels(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.reverseLabels(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.reverseLabels($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "reverse_labels"
+}
+
 /** One-pass 64-bit SimHash — see [[TextKernels.simhash64]]. */
 case class SimHash64(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -237,6 +269,8 @@ object GraftFunctions {
     col(MinHashSig(expressionOf(shingles.cast("array<string>")), numHashes))
   def simhash64(toks: Column): Column =
     col(SimHash64(expressionOf(toks.cast("array<string>"))))
+  def canonQuery(query: Column): Column = col(CanonQuery(expr(query)))
+  def reverseLabels(host: Column): Column = col(ReverseLabels(expr(host)))
 
   def jaroWinklerSim(a: Column, b: Column, p: Double = 0.1): Column =
     col(JaroWinklerSim(expr(a), expr(b), p))

@@ -87,6 +87,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("URL canonicalization + SURT key are one codegen projection (no Exchange, no UDF)") {
+    import graft.textops.UrlOps
+    val urls = spark.range(100).select(
+      concat(lit("HTTP://WWW.h"), col("id"), lit(".Example.COM:80/P/"),
+        col("id"), lit("?b=2&utm_source=x&a=1#f")).as("url"))
+    val out = urls.select(UrlOps.canonicalUrl(col("url")).as("u"),
+      UrlOps.surtKey(col("url")).as("s"))
+    val plan = formatted(out)
+    // at 100 TB this is the first dedup pass over every row — it must ride
+    // the scan as a single codegen'd projection ("*(n)" marks operators
+    // inside WholeStageCodegen stage n; the canon_query/reverse_labels
+    // kernels keep it there — the HOF lambda forms are CodegenFallback)
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
+    assert("""\*\(\d+\) Project \[""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("IVF cell assignment is a shuffle-free projection (no Exchange between scan and cell)") {
     import graft.textops.Similarity
     import spark.implicits._

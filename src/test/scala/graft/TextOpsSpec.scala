@@ -462,4 +462,54 @@ class TextOpsSpec extends SparkSpec {
       assert(v(1) == 8f && v(2) == 8f)
     }
   }
+
+  test("URL canonicalization: case, ports, tracking params, fragments, param order") {
+    def canon(u: String): String = {
+      val df = spark.createDataFrame(Seq(Tuple1(u))).toDF("url")
+      df.select(UrlOps.canonicalUrl(col("url"))).collect()(0).getString(0)
+    }
+    // the full gauntlet in one URL
+    assert(canon("HTTP://user@WWW.Example.COM.:80/A/b?utm_source=x&b=2&a=1&fbclid=z#frag")
+      == "http://www.example.com/A/b?a=1&b=2")
+    // https default port dropped; explicit non-default kept
+    assert(canon("HTTPS://Host.ORG:443") == "https://host.org/")
+    assert(canon("https://host.org:8080/p") == "https://host.org:8080/p")
+    // http:443 is NOT a default port for http — kept
+    assert(canon("http://host.org:443/p") == "http://host.org:443/p")
+    // empty query / only-tracking query both vanish
+    assert(canon("https://h.io/p?") == "https://h.io/p")
+    assert(canon("https://h.io/p?utm_medium=rss&gclid=1") == "https://h.io/p")
+    // path case is PRESERVED (paths are case-sensitive), params byte-sorted
+    assert(canon("https://h.io/CaseSensitive?z=1&A=2") == "https://h.io/CaseSensitive?A=2&z=1")
+    // other schemes pass through the same rules
+    assert(canon("FTP://Mirror.NET/file") == "ftp://mirror.net/file")
+    // scheme-less / junk values pass through unchanged (total over crawl dirt)
+    assert(canon("not a url at all") == "not a url at all")
+    assert(canon("example.com/path") == "example.com/path")
+    // null stays null
+    val nullRow = spark.sql("select cast(null as string) as url")
+      .select(UrlOps.canonicalUrl(col("url"))).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("SURT key reverses host labels and carries the canonical tail") {
+    def surt(u: String): String = {
+      val df = spark.createDataFrame(Seq(Tuple1(u))).toDF("url")
+      df.select(UrlOps.surtKey(col("url"))).collect()(0).getString(0)
+    }
+    assert(surt("http://www.example.com/a") == "com,example,www)/a")
+    // same domain, different subdomains: prefix-adjacent under range sort
+    assert(surt("https://News.Example.COM/x?b=1&a=2") == "com,example,news)/x?a=2&b=1")
+    assert(surt("https://example.com") == "com,example)/")
+    assert(surt("nonsense") == "nonsense")
+    // canonical-URL equality collapses the synthetic messy variants the
+    // driver query builds: two spellings of one resource, one key
+    val variants = Seq(
+      "HTTP://WWW.src1.Example.COM:80/Docs/en/7?b=2&a=1#x",
+      "http://www.src1.example.com./Docs/en/7?a=1&utm_source=f&b=2")
+    val keys = spark.createDataFrame(variants.map(Tuple1(_))).toDF("url")
+      .select(UrlOps.canonicalUrl(col("url"))).distinct().collect()
+    assert(keys.length == 1 &&
+      keys(0).getString(0) == "http://www.src1.example.com/Docs/en/7?a=1&b=2")
+  }
 }

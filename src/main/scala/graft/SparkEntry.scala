@@ -571,6 +571,20 @@ object SparkEntry {
           UrlOps.canonicalUrl(messy).as("url_canon"),
           UrlOps.surtKey(messy).as("surt_key"))
         .orderBy("doc_id")
+    }),
+    "q_eval_sweep" -> ((s, dir) => {
+      // pairwise precision/recall/F1 threshold sweep (the north rule's
+      // acceptance metric as an operator): score the nation-blocked customer
+      // pairs with the JW name similarity, label truth as segment equality —
+      // both deterministic and DuckDB-expressible, so every count and metric
+      // is oracle-checked end-to-end
+      val pairs = customerPairs(s, dir)
+        .select(col("id_a"), col("id_b"),
+          round(GraftFunctions.jaroWinklerSim(col("name_a"), col("name_b")), 4)
+            .as("score"),
+          (col("seg_a") === col("seg_b")).as("truth"))
+      Evaluation.thresholdSweep(
+        pairs, pairs.filter(col("truth")), Seq(0.7, 0.8, 0.9))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -807,5 +821,28 @@ object SparkEntry {
         |   || CASE WHEN doc_id % 11 = 0 THEN '/'
         |        ELSE '/Docs/' || lang || '/' || doc_id END
         |   || '?a=1&b=2' AS surt_key
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_eval_sweep" -> {
+      val score = jwSql.format("a.c_name", "b.c_name")
+      s"""WITH pairs AS (
+         |  SELECT $score AS score,
+         |    (a.c_mktsegment = b.c_mktsegment) AS truth
+         |  $pairsSql
+         |), grid AS (
+         |  SELECT unnest([0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS threshold),
+         |counts AS (
+         |  SELECT threshold,
+         |    cast(sum(CASE WHEN truth AND score >= threshold THEN 1 ELSE 0 END) AS bigint) AS tp,
+         |    cast(sum(CASE WHEN NOT truth AND score >= threshold THEN 1 ELSE 0 END) AS bigint) AS fp,
+         |    cast(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS bigint) AS truth_n
+         |  FROM pairs CROSS JOIN grid GROUP BY threshold)
+         |SELECT threshold, tp, fp, truth_n - tp AS fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE cast(tp AS double) / (tp + fp) END AS precision,
+         |  CASE WHEN truth_n = 0 THEN 0.0
+         |    ELSE cast(tp AS double) / truth_n END AS recall,
+         |  CASE WHEN 2 * tp + fp + (truth_n - tp) = 0 THEN 0.0
+         |    ELSE cast(2 * tp AS double) / (2 * tp + fp + (truth_n - tp)) END AS f1
+         |FROM counts ORDER BY threshold""".stripMargin
+    })
 }

@@ -585,6 +585,16 @@ object SparkEntry {
           (col("seg_a") === col("seg_b")).as("truth"))
       Evaluation.thresholdSweep(
         pairs, pairs.filter(col("truth")), Seq(0.7, 0.8, 0.9))
+    }),
+    "q_eval_bcubed" -> ((s, dir) => {
+      // cluster-level quality metric (B-cubed): agreement between two real
+      // partitions of the customer table — nation as the "predicted"
+      // clustering, market segment as "truth". Fully deterministic, every
+      // per-cell count and the final averages oracle-checked
+      val c = t(s, dir, "customer")
+      Evaluation.bcubed(
+        c.select(col("c_custkey").as("node"), col("c_nationkey").as("cluster")),
+        c.select(col("c_custkey").as("node"), col("c_mktsegment").as("cluster")))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -844,5 +854,23 @@ object SparkEntry {
          |  CASE WHEN 2 * tp + fp + (truth_n - tp) = 0 THEN 0.0
          |    ELSE cast(2 * tp AS double) / (2 * tp + fp + (truth_n - tp)) END AS f1
          |FROM counts ORDER BY threshold""".stripMargin
-    })
+    },
+    "q_eval_bcubed" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS c, c_mktsegment AS t,
+        |    cast(count(*) AS bigint) AS n_ct
+        |  FROM customer GROUP BY 1, 2),
+        |nc AS (SELECT c, sum(n_ct) AS n_c FROM cells GROUP BY 1),
+        |nt AS (SELECT t, sum(n_ct) AS n_t FROM cells GROUP BY 1),
+        |sums AS (
+        |  SELECT sum(cast(n_ct AS double) * n_ct / n_c) AS sum_p,
+        |    sum(cast(n_ct AS double) * n_ct / n_t) AS sum_r,
+        |    cast(sum(n_ct) AS bigint) AS n_nodes
+        |  FROM cells JOIN nc USING (c) JOIN nt USING (t))
+        |SELECT n_nodes,
+        |  sum_p / n_nodes AS bcubed_precision,
+        |  sum_r / n_nodes AS bcubed_recall,
+        |  2.0 * (sum_p / n_nodes) * (sum_r / n_nodes)
+        |    / ((sum_p / n_nodes) + (sum_r / n_nodes)) AS bcubed_f1
+        |FROM sums""".stripMargin)
 }

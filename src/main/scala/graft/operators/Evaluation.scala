@@ -74,4 +74,44 @@ object Evaluation {
           .as("f1"))
       .orderBy("threshold")
   }
+
+  /** B-cubed precision/recall/F1 of a predicted clustering against a truth
+    * clustering — the standard CLUSTER-level ER quality metric (pairwise F1
+    * over-weights large clusters; B-cubed averages per NODE: for node i
+    * with predicted cluster C(i) and truth cluster T(i),
+    * P(i) = |C(i)∩T(i)|/|C(i)|, R(i) = |C(i)∩T(i)|/|T(i)|; B³P/B³R are the
+    * node averages and F1 their harmonic mean).
+    *
+    * Shape at scale: one node-keyed equi-join pred×truth (node-scale, the
+    * same class as the clustering's own output), one (pred, truth)-cell
+    * hash aggregate, and two cell-scale aggregates that derive the cluster
+    * sizes FROM the cells (never rescanning the inputs) — per-node sums
+    * collapse algebraically to Σ n_ct²/n_c and Σ n_ct²/n_t over cells.
+    * Nodes present in only one clustering are ignored (inner join):
+    * evaluate over the labeled subset.
+    *
+    * Inputs: `(node, cluster)` assignments, one row per node.
+    */
+  def bcubed(pred: DataFrame, truth: DataFrame): DataFrame = {
+    val j = pred.select(col("node"), col("cluster").as("__c"))
+      .join(truth.select(col("node"), col("cluster").as("__t")), "node")
+    val cells = j.groupBy("__c", "__t").agg(count(lit(1)).as("n_ct"))
+    val nc = cells.groupBy("__c").agg(sum("n_ct").as("n_c"))
+    val nt = cells.groupBy("__t").agg(sum("n_ct").as("n_t"))
+    // n_ct² as double: a Long product would overflow for clusters past ~3e9
+    // nodes, and the result only feeds a floating-point average anyway
+    val sq = col("n_ct").cast("double") * col("n_ct")
+    cells.join(nc, "__c").join(nt, "__t")
+      .agg(sum(sq / col("n_c")).as("__sum_p"),
+        sum(sq / col("n_t")).as("__sum_r"),
+        sum("n_ct").as("n_nodes"))
+      .select(coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        // empty labeled intersection → 0.0 metrics, not null/NaN
+        coalesce(col("__sum_p") / col("n_nodes"), lit(0.0)).as("bcubed_precision"),
+        coalesce(col("__sum_r") / col("n_nodes"), lit(0.0)).as("bcubed_recall"),
+        coalesce(lit(2.0) * (col("__sum_p") / col("n_nodes")) *
+          (col("__sum_r") / col("n_nodes")) /
+          ((col("__sum_p") / col("n_nodes")) +
+            (col("__sum_r") / col("n_nodes"))), lit(0.0)).as("bcubed_f1"))
+  }
 }

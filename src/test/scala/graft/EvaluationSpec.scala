@@ -44,6 +44,31 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
   }
 
+  test("B-cubed: textbook example, averages per node not per cluster") {
+    // pred {1,2},{3} vs truth {1},{2,3}:
+    //   node 1: P=1/2 R=1;  node 2: P=1/2 R=1/2;  node 3: P=1 R=1/2
+    // B3P = B3R = 2/3, F1 = 2/3
+    val pred = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("node", "cluster")
+    val truth = Seq((1L, 100L), (2L, 200L), (3L, 200L)).toDF("node", "cluster")
+    val r = Evaluation.bcubed(pred, truth).head()
+    assert(r.getLong(0) == 3)
+    assert(math.abs(r.getDouble(1) - 2.0 / 3) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-12)
+    // identical clusterings score a perfect 1.0 everywhere
+    val p = Evaluation.bcubed(pred, pred).head()
+    assert(p.getDouble(1) == 1.0 && p.getDouble(2) == 1.0 && p.getDouble(3) == 1.0)
+    // unlabeled nodes are excluded (inner join): dropping node 3's label
+    // leaves the {1,2}-vs-{1},{2} comparison
+    val r2 = Evaluation.bcubed(pred, truth.filter($"node" =!= 3L)).head()
+    assert(r2.getLong(0) == 2)
+    assert(math.abs(r2.getDouble(1) - 0.5) < 1e-12) // both nodes: P=1/2
+    assert(r2.getDouble(2) == 1.0)                  // singleton truth: R=1
+    // empty labeled intersection: zero nodes, 0.0 metrics (not null/NaN)
+    val e = Evaluation.bcubed(pred, truth.filter($"node" > 100L)).head()
+    assert(e.getLong(0) == 0 && e.getDouble(1) == 0.0 && e.getDouble(3) == 0.0)
+  }
+
   test("threshold sweep is one join + one aggregate: no per-threshold rescan") {
     val scored = Seq((1L, 2L, 0.9), (2L, 3L, 0.4)).toDF("id_a", "id_b", "score")
     val truth = Seq((1L, 2L)).toDF("id_a", "id_b")

@@ -492,6 +492,31 @@ class TextOpsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("URL canonicalization is idempotent over generated messy URLs") {
+    // canonical output must be a FIXED POINT: re-canonicalizing a canonical
+    // URL (e.g. a url column that was already cleaned upstream) must be a
+    // no-op, or repeated pipeline runs would keep mutating the dedup key
+    val messy = spark.range(200).select(
+      concat(
+        when(pmod(col("id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://User@WWW.h"), col("id"), lit(".Example.COM"),
+        when(pmod(col("id"), lit(5)) === 0, lit(".")).otherwise(lit("")),
+        when(pmod(col("id"), lit(3)) === 0, lit(":443")).otherwise(lit(":8080")),
+        when(pmod(col("id"), lit(7)) === 0, lit(""))
+          .otherwise(concat(lit("/P/"), col("id"))),
+        lit("?z=9&utm_campaign=x&a=1#frag")).as("url"))
+    val twice = messy.select(
+      UrlOps.canonicalUrl(col("url")).as("once"),
+      UrlOps.canonicalUrl(UrlOps.canonicalUrl(col("url"))).as("twice"),
+      UrlOps.surtKey(col("url")).as("surt_of_messy"))
+    assert(twice.filter(col("once") =!= col("twice")).count() == 0)
+    // and the SURT of the canonical form equals the SURT of the messy form
+    val surtStable = messy.select(
+      UrlOps.surtKey(col("url")).as("a"),
+      UrlOps.surtKey(UrlOps.canonicalUrl(col("url"))).as("b"))
+    assert(surtStable.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("SURT key reverses host labels and carries the canonical tail") {
     def surt(u: String): String = {
       val df = spark.createDataFrame(Seq(Tuple1(u))).toDF("url")

@@ -583,8 +583,10 @@ object SparkEntry {
           round(GraftFunctions.jaroWinklerSim(col("name_a"), col("name_b")), 4)
             .as("score"),
           (col("seg_a") === col("seg_b")).as("truth"))
-      Evaluation.thresholdSweep(
-        pairs, pairs.filter(col("truth")), Seq(0.7, 0.8, 0.9))
+      // labels ride the scored table → the labeled variant: one pass over
+      // the pair space, no second pair-join evaluation (measured 5.7 s →
+      // one-join cost at sf0.1)
+      Evaluation.thresholdSweepLabeled(pairs, "truth", Seq(0.7, 0.8, 0.9))
     }),
     "q_eval_bcubed" -> ((s, dir) => {
       // cluster-level quality metric (B-cubed): agreement between two real

@@ -48,16 +48,41 @@ object Evaluation {
       lit(true).as("__truth"))
     val joined = s.join(t, Seq("__pa", "__pb"), "full_outer")
       .select(col("__score"), coalesce(col("__truth"), lit(false)).as("__truth"))
+    sweepOver(joined, thresholds)
+  }
+
+  /** Single-table variant for when the labels already ride the scored pair
+    * table as a boolean column: no join at all — the sweep is ONE
+    * explode(grid) + hash aggregate over the input. Use this whenever the
+    * scorer and the labeler saw the same pair space (the common case: truth
+    * is a predicate over pair attributes); the two-table form exists for
+    * truth sets with pairs the scorer never produced. A truth pair absent
+    * from `pairs` cannot be represented here — it would silently not count
+    * as a false negative.
+    */
+  def thresholdSweepLabeled(
+      pairs: DataFrame,
+      truthCol: String,
+      thresholds: Seq[Double],
+      scoreCol: String = "score"): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs at least one threshold")
+    sweepOver(pairs.select(col(scoreCol).cast("double").as("__score"),
+      col(truthCol).cast("boolean").as("__truth")), thresholds)
+  }
+
+  /** Shared sweep core over a `(__score, __truth)` table. A null `__score`
+    * (truth pair the scorer never produced) fails every `>= threshold`
+    * test → false negative at every threshold, by design:
+    * fn = (total truth pairs) - tp.
+    */
+  private def sweepOver(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
     val grid = explode(array(thresholds.map(lit): _*)).as("threshold")
-    // null __score (truth pair the scorer never produced) fails every
-    // `>= threshold` test → false negative at every threshold, by design:
-    // fn = (total truth pairs) - tp
     val tp = sum(when(col("__truth") && col("__score") >= col("threshold"), 1L)
       .otherwise(0L)).as("tp")
     val fp = sum(when(!col("__truth") && col("__score") >= col("threshold"), 1L)
       .otherwise(0L)).as("fp")
     val truthN = sum(when(col("__truth"), 1L).otherwise(0L)).as("__truth_n")
-    joined.select(col("__score"), col("__truth"), grid)
+    scored.select(col("__score"), col("__truth"), grid)
       .groupBy("threshold")
       .agg(tp, fp, truthN)
       .withColumn("fn", col("__truth_n") - col("tp"))

@@ -78,5 +78,22 @@ class EvaluationSpec extends SparkSpec {
     // grid size — the pair tables are never re-joined per threshold
     assert("(?s)Join".r.findAllIn(plan).size == 1, plan)
     assert("(?s)Generate".r.findAllIn(plan).size == 1, plan)
+    // the labeled variant has NO join at all
+    val labeled = scored.withColumn("truth", col("id_a") === 1)
+    val lplan = Evaluation.thresholdSweepLabeled(labeled, "truth", Seq(0.5, 0.9))
+      .queryExecution.optimizedPlan.toString
+    assert(!lplan.contains("Join"), lplan)
+  }
+
+  test("labeled sweep == two-table sweep when truth rides the scored table") {
+    val pairs = Seq(
+      (1L, 2L, 0.95, true), (1L, 3L, 0.70, true),
+      (2L, 3L, 0.96, false), (4L, 5L, 0.10, false)
+    ).toDF("id_a", "id_b", "score", "truth")
+    val viaJoin = Evaluation.thresholdSweep(
+      pairs, pairs.filter($"truth"), Seq(0.5, 0.9)).collect().toSeq
+    val viaLabel = Evaluation.thresholdSweepLabeled(
+      pairs, "truth", Seq(0.5, 0.9)).collect().toSeq
+    assert(viaLabel == viaJoin)
   }
 }

@@ -311,5 +311,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64", {
       case Seq(toks) => SimHash64(toks)
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("canon_query", {
+      case Seq(q) => CanonQuery(q)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("reverse_labels", {
+      case Seq(h) => ReverseLabels(h)
+    }, "scala_udf")
   }
 }

@@ -492,6 +492,23 @@ class TextOpsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("SQL-registered kernels are callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT canon_query('b=2&utm_source=x&a=1') AS q,
+        | reverse_labels('www.example.com') AS h,
+        | round(jw_sim('MARTHA', 'MARHTA'), 4) AS jw,
+        | simhash64(array('a', 'b')) AS sh""".stripMargin).head()
+    assert(r.getString(0) == "a=1&b=2")
+    assert(r.getString(1) == "com,example,www")
+    assert(r.getDouble(2) == 0.9611)
+    // value parity with the column API
+    import spark.implicits._
+    val viaCol = Seq(Tuple1(Seq("a", "b"))).toDF("t")
+      .select(graft.functions.GraftFunctions.simhash64(col("t"))).head().getLong(0)
+    assert(r.getLong(3) == viaCol)
+  }
+
   test("URL canonicalization is idempotent over generated messy URLs") {
     // canonical output must be a FIXED POINT: re-canonicalizing a canonical
     // URL (e.g. a url column that was already cleaned upstream) must be a

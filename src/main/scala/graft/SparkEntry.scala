@@ -350,6 +350,21 @@ object SparkEntry {
       ConnectedComponents.run(edges)
         .orderBy("node")
     }),
+    "q_cluster_incr" -> ((s, dir) => {
+      // incremental clustering == from-scratch over the full edge history,
+      // as a DuckDB-adjudicated fact: day-1 edges (even customers) are
+      // clustered first, day-2 edges (odd customers) fold in via
+      // incrementalCluster — the oracle is the recursive CTE over ALL edges,
+      // so any divergence from the from-scratch labeling hash-mismatches
+      val edges = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id_a"),
+          (col("c_nationkey").cast("long") + 1000000L).as("id_b"))
+      val day1 = edges.filter(pmod(col("id_a"), lit(2)) === 0)
+      val day2 = edges.filter(pmod(col("id_a"), lit(2)) === 1)
+      ConnectedComponents.incrementalCluster(
+        ConnectedComponents.clusterPairs(day1), day2)
+        .orderBy("node")
+    }),
 
     // ---- training-data ops ----
     "q_dedup_exact" -> ((s, dir) => {
@@ -664,6 +679,19 @@ object SparkEntry {
         |LEFT JOIN tf tb ON b.c_mktsegment = tb.v
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_cluster_cc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT cast(c_custkey AS bigint) AS u,
+        |         cast(c_nationkey AS bigint) + 1000000 AS v FROM customer),
+        | und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        | walk(node, label) AS (
+        |   SELECT u, u FROM und
+        |   UNION
+        |   SELECT und.v, walk.label FROM walk JOIN und ON walk.node = und.u)
+        |SELECT node, min(label) AS component FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
+    // identical oracle to q_cluster_cc — the incremental fold must land on
+    // exactly the from-scratch labeling of the full edge history
+    "q_cluster_incr" ->
       """WITH RECURSIVE e AS (
         |  SELECT cast(c_custkey AS bigint) AS u,
         |         cast(c_nationkey AS bigint) + 1000000 AS v FROM customer),

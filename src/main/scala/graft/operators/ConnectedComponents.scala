@@ -219,4 +219,37 @@ object ConnectedComponents {
     */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame =
     run(pairs.select(col(idA).cast("long"), col(idB).cast("long")))
+
+  /** Incremental clustering: fold a PREVIOUS labeling into the new match
+    * edges instead of re-clustering the full edge history. The previous
+    * `(node, component)` table is a spanning star forest of everything seen
+    * so far (component = min reachable id, so every label edge points
+    * straight at its component's minimum node), which makes
+    * `cc(labels ∪ newEdges)` EXACTLY equal to `cc(allEdgesEver)` — the min
+    * of merged components is the min over their label ids — while the
+    * star-shaped input converges in ~1 round instead of re-walking the old
+    * graph's chains.
+    *
+    * At the 10^12-node regime this is the difference between touching the
+    * petabyte-class match-edge history on every increment and touching
+    * O(nodes) labels + O(increment) edges. Singleton components — a label
+    * `(n, n)` with no other edge touching `n`, e.g. from an "every doc its
+    * own entity" bootstrap labeling — would be dropped by the edge
+    * normalization's self-loop cut; their previous labels are restored with
+    * one node-scale anti-join so no labeled node ever disappears.
+    */
+  def incrementalCluster(
+      prevClusters: DataFrame,
+      newPairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val prev = prevClusters.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    val folded = run(prev.select(col("node").as("__src"), col("component").as("__dst"))
+      .unionByName(
+        newPairs.select(col(idA).cast("long").as("__src"),
+          col(idB).cast("long").as("__dst"))))
+    val singletons = prev.join(folded.select(col("node")), Seq("node"), "left_anti")
+    folded.unionByName(singletons.select(col("node"), col("component")))
+  }
 }

@@ -67,4 +67,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
     assert(Seq(20L, 21L).forall(comps(_) == 20L))
   }
+
+  test("incremental clustering == from-scratch CC over the full edge history") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    // day 1: {1,2,3} (chain), {10,11}
+    val day1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val c1 = ConnectedComponents.clusterPairs(day1)
+    // day 2: grow {1..3} with 4; MERGE {1..3} and {10,11} via (3,10);
+    // brand-new cluster {70,71}
+    val day2 = Seq((3L, 4L), (3L, 10L), (70L, 71L)).toDF("id_a", "id_b")
+    val incr = labels(ConnectedComponents.incrementalCluster(c1, day2))
+    val full = labels(ConnectedComponents.clusterPairs(day1.unionByName(day2)))
+    assert(incr == full, s"incr=$incr full=$full")
+    assert(incr(10L) == 1L && incr(4L) == 1L) // cross-increment merge hit min id
+    assert(incr(71L) == 70L)
+    // a third increment folding the SECOND labeling still equals from-scratch
+    val day3 = Seq((11L, 4L)).toDF("id_a", "id_b")
+    val c2 = ConnectedComponents.incrementalCluster(c1, day2)
+    val incr3 = labels(ConnectedComponents.incrementalCluster(c2, day3))
+    val full3 = labels(ConnectedComponents.clusterPairs(
+      day1.unionByName(day2).unionByName(day3)))
+    assert(incr3 == full3)
+  }
+
+  test("incremental clustering preserves bootstrap singleton labels") {
+    import spark.implicits._
+    // an "every doc its own entity" bootstrap labeling: (n, n) rows are
+    // self-loops the edge normalization would silently drop
+    val bootstrap = Seq((1L, 1L), (2L, 2L), (50L, 50L)).toDF("node", "component")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = ConnectedComponents.incrementalCluster(bootstrap, pairs)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 50L -> 50L), out.toString)
+  }
 }

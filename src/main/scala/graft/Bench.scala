@@ -203,6 +203,10 @@ object Bench {
     }
     spark.catalog.clearCache()
     System.err.println("[bench] phase-1 warmup done")
+    // ONE env read for the whole bench. The DEFAULTS intentionally differ
+    // per phase — 2 reps for the cheap per-query tail, 3 for the expensive
+    // scaling anchor — but an EXPLICIT value applies to both phases.
+    val envReps: Option[Int] = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
     // EVERY query gets two reps, min reported (was: only first-rep >= 2 s).
     // The old threshold left sub-2s queries one contended/cold rep away from
     // a 4-10x artifact swing on unchanged code (r3 driver: q_dedup_canonical
@@ -217,8 +221,7 @@ object Bench {
       val first = once()
       // honor the REPS count (min reported): <=1 means quick smoke, 1 rep;
       // k>=2 runs exactly k reps with caches/memos cleared between them
-      val phase1Reps =
-        math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+      val phase1Reps = math.max(1, envReps.getOrElse(2))
       val sec = (1 until phase1Reps).foldLeft(first) { (best, _) =>
         spark.catalog.clearCache()
         SparkEntry.clearEmMemo() // each rep must re-run the pipeline, not a memo
@@ -240,7 +243,7 @@ object Bench {
     // robust throughput estimator. Both levels get multiple reps — the
     // round-1 driver artifact showed a single noisy rep can sink the
     // reported efficiency (0.697 vs 0.80-0.99 in same-day repeats).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = envReps.getOrElse(3)
     // secondary levels get one rep fewer than the 4N anchor but never more
     // than `reps` itself — SPARK_GRAFT_BENCH_REPS=1 must mean 1 (quick
     // smoke), not a silent floor of 2

@@ -279,14 +279,24 @@ object Checkpoints {
     val fp = Linker.checkpointFingerprint(cfg, blockCols, maxBlockRows, pairFilter)
     val runMeta = s"$root/_graft_run.json"
     val existing = if (fileExists(runMeta)) Some(readFile(runMeta)) else None
-    existing.foreach { json =>
-      val storedFp = """"fingerprint":"([0-9a-f]+)"""".r.findFirstMatchIn(json)
+    def fpOf(json: String): String =
+      """"fingerprint":"([0-9a-f]+)"""".r.findFirstMatchIn(json)
         .map(_.group(1)).getOrElse("")
-      if (storedFp != fp) throw new IllegalStateException(
-        s"checkpoint root $root was written by a DIFFERENT link configuration " +
-          "(config / blocking / salting / pair-filter fingerprint mismatch) — " +
-          "resuming would serve stale pattern counts; clear the checkpoint " +
-          "directory or rerun with the original configuration")
+    def drifted(): Nothing = throw new IllegalStateException(
+      s"checkpoint root $root was written by a DIFFERENT link configuration " +
+        "(config / blocking / salting / pair-filter fingerprint mismatch) — " +
+        "resuming would serve stale pattern counts; clear the checkpoint " +
+        "directory or rerun with the original configuration")
+    existing.foreach(json => if (fpOf(json) != fp) drifted())
+    // Roots from before the run sidecar existed carry the fingerprint only
+    // in the gamma stage's link sidecar. Consult it BEFORE pinning a fresh
+    // root sidecar: writing this config's fingerprint first and THEN letting
+    // the gamma-stage guard throw would leave the root pinned to the WRONG
+    // config — permanently blocking the rightful one from resuming its
+    // still-valid (and expensive) gamma checkpoint.
+    if (existing.isEmpty) {
+      val gammaLink = Linker.linkMetaAt(dir(root, "gammas"))
+      if (fileExists(gammaLink) && fpOf(readFile(gammaLink)) != fp) drifted()
     }
     def grab(json: String, k: String) =
       s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)

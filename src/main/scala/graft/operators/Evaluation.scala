@@ -76,15 +76,31 @@ object Evaluation {
     * fn = (total truth pairs) - tp.
     */
   private def sweepOver(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
-    val grid = explode(array(thresholds.map(lit): _*)).as("threshold")
-    val tp = sum(when(col("__truth") && col("__score") >= col("threshold"), 1L)
-      .otherwise(0L)).as("tp")
-    val fp = sum(when(!col("__truth") && col("__score") >= col("threshold"), 1L)
-      .otherwise(0L)).as("fp")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // distinct: a duplicated grid value would explode each pair twice into
+    // the same group and double that threshold's counts
+    val grid = thresholds.distinct
+    // NaN guard: Spark orders NaN ABOVE every double, so a NaN score would
+    // count as a positive prediction at every threshold; treat it like a
+    // null score instead (unscored → false negative if truth)
+    val scoreOk = !isnan(col("__score")) && col("__score") >= col("threshold")
+    val tp = sum(when(col("__truth") && scoreOk, 1L).otherwise(0L)).as("tp")
+    val fp = sum(when(!col("__truth") && scoreOk, 1L).otherwise(0L)).as("fp")
     val truthN = sum(when(col("__truth"), 1L).otherwise(0L)).as("__truth_n")
-    scored.select(col("__score"), col("__truth"), grid)
+    val counted = scored
+      .select(col("__score"), col("__truth"),
+        explode(array(grid.map(lit): _*)).as("threshold"))
       .groupBy("threshold")
       .agg(tp, fp, truthN)
+    // left join FROM the grid: an empty pair table must still yield the
+    // documented one row per threshold (all-zero counts), not zero rows
+    grid.toDF("threshold")
+      .join(counted, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("__truth_n"), lit(0L)).as("__truth_n"))
       .withColumn("fn", col("__truth_n") - col("tp"))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") === 0, 0.0)

@@ -309,7 +309,9 @@ object Multimodal {
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null) return null
-    val out = new Array[Float](dim)
+    // a negative dim must degrade (empty features), not throw
+    // NegativeArraySizeException inside an executor task
+    val out = new Array[Float](math.max(dim, 0))
     var h = 1125899906842597L // deterministic FNV-ish fold
     var i = 0
     while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }

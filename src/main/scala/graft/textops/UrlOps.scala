@@ -35,11 +35,14 @@ object UrlOps {
 
   private def hasScheme(url: Column): Column = url.rlike("^[^:/?#]+://")
 
-  /** Lowercased host with userinfo, trailing dot, and port stripped. */
+  /** Lowercased host with userinfo, trailing dots, and port stripped. */
   def host(url: Column): Column = {
     val authority = regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1)
     val noUser = substring_index(authority, "@", -1)
-    regexp_replace(lower(substring_index(noUser, ":", 1)), "\\.$", "")
+    // \.+$ not \.$: stripping only ONE trailing dot would make the
+    // canonical form of "host.." non-idempotent (and key "host." and
+    // "host.." differently)
+    regexp_replace(lower(substring_index(noUser, ":", 1)), "\\.+$", "")
   }
 
   /** Canonical form:
@@ -54,14 +57,18 @@ object UrlOps {
     val scheme = lower(regexp_extract(url, "^([^:/?#]+)://", 1))
     val authority = regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1)
     val noUser = substring_index(authority, "@", -1)
-    val h = regexp_replace(lower(substring_index(noUser, ":", 1)), "\\.$", "")
+    val h = regexp_replace(lower(substring_index(noUser, ":", 1)), "\\.+$", "")
     val port = regexp_extract(noUser, ":([0-9]+)$", 1)
     val keepPort = (port =!= "") &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
     val path0 = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // the query starts at the FIRST '?' (RFC 3986): the prefix excludes '?'
+    // — a greedy "^[^#]*\?" would backtrack to the LAST '?', silently
+    // deleting anything between two '?'s (common in redirect/return-url
+    // parameter values)
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val canonQ = graft.functions.GraftFunctions.canonQuery(query)
     val built = concat(
       scheme, lit("://"), h,

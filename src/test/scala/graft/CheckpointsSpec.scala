@@ -148,6 +148,31 @@ class CheckpointsSpec extends SparkSpec {
       side("ida"), side("idb"), cfgWith(0.92), Seq("block"), root).count() > 0)
   }
 
+  test("pre-upgrade root: an aborted wrong-config run cannot poison the fingerprint pin") {
+    val root = tmpRoot()
+    val pages = webPages(200)
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"),
+      col("n_tokens"), col("block"))
+    def cfgWith(cutA: Double) = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = cutA, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    assert(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfgWith(0.92), Seq("block"), root).count() > 0)
+    // simulate a root written BEFORE the run sidecar existed: only the
+    // gamma stage's link sidecar carries the fingerprint
+    assert(new java.io.File(s"$root/_graft_run.json").delete())
+    // a wrong-config run must fail WITHOUT first pinning its own fingerprint
+    // at the root — that would permanently block the rightful config from
+    // resuming its still-valid gamma checkpoint
+    val e = intercept[IllegalStateException](Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfgWith(0.95), Seq("block"), root))
+    assert(e.getMessage.contains("DIFFERENT link configuration"))
+    assert(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfgWith(0.92), Seq("block"), root).count() > 0)
+  }
+
   test("completeness flips only after companion sidecars land (crash-window ordering)") {
     val dir = tmpRoot() + "/stage"
     val df = spark.range(10).toDF("x")

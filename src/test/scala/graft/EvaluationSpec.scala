@@ -74,15 +74,29 @@ class EvaluationSpec extends SparkSpec {
     val truth = Seq((1L, 2L)).toDF("id_a", "id_b")
     val plan = Evaluation.thresholdSweep(scored, truth, Seq(0.3, 0.5, 0.7, 0.9))
       .queryExecution.optimizedPlan.toString
-    // one Join node and one Generate (the threshold explode), regardless of
-    // grid size — the pair tables are never re-joined per threshold
-    assert("(?s)Join".r.findAllIn(plan).size == 1, plan)
+    // exactly one PAIR-scale join plus the constant-size grid join (the
+    // left join that guarantees a row per threshold), and one Generate (the
+    // threshold explode) — the pair tables are never re-joined per threshold
+    assert("(?s)Join".r.findAllIn(plan).size == 2, plan)
     assert("(?s)Generate".r.findAllIn(plan).size == 1, plan)
-    // the labeled variant has NO join at all
+    // the labeled variant's ONLY join is the constant-size grid join
     val labeled = scored.withColumn("truth", col("id_a") === 1)
     val lplan = Evaluation.thresholdSweepLabeled(labeled, "truth", Seq(0.5, 0.9))
       .queryExecution.optimizedPlan.toString
-    assert(!lplan.contains("Join"), lplan)
+    assert("(?s)Join".r.findAllIn(lplan).size == 1, lplan)
+  }
+
+  test("sweep honors the row-per-threshold contract on EMPTY input; NaN = unscored") {
+    val empty = spark.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "score")
+    val rows = Evaluation.thresholdSweep(empty, empty, Seq(0.7, 0.8, 0.9)).collect()
+    assert(rows.length == 3) // one row per threshold, all-zero counts
+    assert(rows.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
+    // NaN scores: Spark orders NaN above every double — without the guard a
+    // NaN would count as a positive prediction at every threshold
+    val nan = Seq((1L, 2L, Double.NaN, true), (3L, 4L, 0.99, false))
+      .toDF("id_a", "id_b", "score", "truth")
+    val r = Evaluation.thresholdSweepLabeled(nan, "truth", Seq(0.5)).head()
+    assert(r.getLong(1) == 0 && r.getLong(2) == 1 && r.getLong(3) == 1) // tp=0 fp=1 fn=1
   }
 
   test("labeled sweep == two-table sweep when truth rides the scored table") {

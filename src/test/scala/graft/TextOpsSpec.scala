@@ -481,6 +481,15 @@ class TextOpsSpec extends SparkSpec {
     assert(canon("https://h.io/p?utm_medium=rss&gclid=1") == "https://h.io/p")
     // path case is PRESERVED (paths are case-sensitive), params byte-sorted
     assert(canon("https://h.io/CaseSensitive?z=1&A=2") == "https://h.io/CaseSensitive?A=2&z=1")
+    // the query starts at the FIRST '?': a literal '?' inside a parameter
+    // value (redirect/return-url params) must not shift the query start —
+    // a greedy prefix regex backtracked to the LAST '?' and silently
+    // deleted "redirect=/x"
+    assert(canon("http://h.io/p?redirect=/x?y=1&a=2")
+      == "http://h.io/p?a=2&redirect=/x?y=1")
+    // ALL trailing host dots strip, keeping canonicalization idempotent
+    assert(canon("http://example.com../p") == "http://example.com/p")
+    assert(canon("http://example.com./p") == "http://example.com/p")
     // other schemes pass through the same rules
     assert(canon("FTP://Mirror.NET/file") == "ftp://mirror.net/file")
     // scheme-less / junk values pass through unchanged (total over crawl dirt)

@@ -94,18 +94,36 @@ object Checkpoints {
     val conf = hconf()
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val perPart = fs.listStatus(p)
+    val files = fs.listStatus(p)
       .filter { f =>
         val n = f.getPath.getName
         f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
       .sortBy(_.getPath.getName)
-      .map { f =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-        try reader.getRecordCount finally reader.close()
+    def countOf(f: org.apache.hadoop.fs.FileStatus): Long = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try reader.getRecordCount finally reader.close()
+    }
+    // footer reads run CONCURRENTLY on a bounded driver pool: each is one
+    // small metadata RPC, and at object-store scale (thousands of part
+    // files, ~100 ms latency each) a sequential pass serializes into
+    // minutes per stage. Futures are indexed by the name-sorted file list,
+    // so the per-partition ordering of the counters is unchanged.
+    val perPart: Seq[Long] =
+      if (files.length <= 2) files.map(countOf).toSeq
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, files.length))
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          import scala.concurrent.{Await, Future}
+          Await.result(
+            Future.sequence(files.toSeq.map(f => Future(countOf(f))(ec)))(
+              implicitly, ec),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
       }
-      .toSeq
     val stage = path.reverse.dropWhile(_ == '/').takeWhile(_ != '/').reverse
     val info = StageInfo(stage, perPart.sum, perPart.size, perPart,
       System.currentTimeMillis(), secs)
@@ -308,10 +326,32 @@ object Checkpoints {
       // cache-mode sidecar's counts untouched
       if (existing.isEmpty) writeFile(runMeta, s"""{"fingerprint":"$fp"}""")
       None
-    } else stored.orElse {
-      val d = (dfA.count(), dfB.count()) // row-scale (parquet: footer-only)
-      writeFile(runMeta, s"""{"fingerprint":"$fp","n_a":${d._1},"n_b":${d._2}}""")
-      Some(d)
+    } else stored match {
+      case Some((a, b)) =>
+        // Cache-mode resume with recompute ahead: if any downstream stage is
+        // missing, the pair join re-runs over the CURRENT inputs while the
+        // EM uses the pinned dims + checkpointed pattern counts — so drifted
+        // inputs would produce a silently mixed-era output. Guard with the
+        // cheap row-scale counts (parquet: footer-only) and fail fast on
+        // mismatch, mirroring appendDedupeIncrement's corpus-drift check. A
+        // fully-checkpointed resume (every stage complete) skips the guard:
+        // nothing recomputes, the served result is consistently old-era.
+        val fullyCheckpointed =
+          stageNames(cfg).filterNot(_ == "gammas").forall(s => isComplete(root, s))
+        if (!fullyCheckpointed) {
+          val cur = (dfA.count(), dfB.count())
+          if (cur != ((a, b))) throw new IllegalStateException(
+            s"checkpoint root $root pinned input counts (n_a=$a, n_b=$b) but " +
+              s"the inputs now have (n_a=${cur._1}, n_b=${cur._2}) — the " +
+              "inputs drifted since the cache-mode run, and resuming would " +
+              "mix NEW pair comparisons with OLD pattern counts; clear the " +
+              "checkpoint directory or rerun against the original inputs")
+        }
+        Some((a, b))
+      case None =>
+        val d = (dfA.count(), dfB.count()) // row-scale (parquet: footer-only)
+        writeFile(runMeta, s"""{"fingerprint":"$fp","n_a":${d._1},"n_b":${d._2}}""")
+        Some(d)
     }
   }
 
@@ -351,8 +391,21 @@ object Checkpoints {
     *  - the checkpoint's pinned comparison space must equal
     *    nCorpus*(nCorpus-1)/2 — a drifted corpus fails fast.
     *  - increment ids must be disjoint from corpus ids (enforced).
-    *  - TF-adjusted configs are rejected: TF denominators are corpus-wide
-    *    frequencies, which an append would silently leave stale.
+    *
+    * TF-adjusted configs (reference headline feature,
+    * `/root/reference/src/term_frequency_adjustment.jl:53-74`): TF
+    * denominators are corpus-wide value frequencies, so every stored pair's
+    * tf columns go stale the moment the corpus grows. The append REFRESHES
+    * them without re-comparing any pair: the per-variable frequency tables
+    * are recomputed over corpus UNION increment (one row-scale pass —
+    * [[TermFrequency.withTfColumns]]), keyed back to ids, and joined onto
+    * the combined pair table (row-scale build side, pair-scale probe); the
+    * gamma columns are carried unchanged and the refreshed table replaces
+    * the checkpoint via a staging-directory swap. Cost is one linear
+    * rewrite of the stored pairs — unavoidable, since their tf values
+    * genuinely change — never a re-run of the quadratic pair join or the
+    * comparator kernels. Non-TF configs keep the cheaper in-place parquet
+    * append (the corpus pairs are byte-stable there).
     *
     * Crash safety: the stale downstream checkpoints AND the gamma sidecars
     * are deleted BEFORE the parquet append, and the sidecar is rewritten
@@ -374,10 +427,6 @@ object Checkpoints {
       maxBlockRows: Option[Long] = None,
       fanoutPartitions: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
-    require(!cfg.comparisons.allVariables.exists(_.tfAdjust),
-      "appendDedupeIncrement cannot run TF-adjusted configs: TF denominators " +
-        "are corpus-wide frequencies and would be silently stale after an " +
-        "append — re-run the full dedupe instead")
     val gdir = dir(root, "gammas")
     require(isCompleteAt(gdir),
       s"no complete gamma checkpoint at $gdir to append to — run the full " +
@@ -432,9 +481,53 @@ object Checkpoints {
       .foreach(s => deleteRecursive(dir(root, s)))
     deleteRecursive(metaAt(gdir)) // stage incomplete until the append commits
     deleteRecursive(linkMeta)
-    val tAppend = System.nanoTime()
-    gIC.unionByName(gII).write.mode("append").parquet(gdir)
+    val full = corpus.unionByName(increment)
     val n = nC + nI
+    val tAppend = System.nanoTime()
+    val tfSpecs = cfg.comparisons.allVariables.filter(_.tfAdjust)
+    if (tfSpecs.isEmpty) {
+      // corpus pairs are byte-stable — cheap in-place parquet append
+      gIC.unionByName(gII).write.mode("append").parquet(gdir)
+    } else {
+      // TF refresh (see the method doc): rebuild the per-variable frequency
+      // tables over corpus UNION increment and join the refreshed per-id tf
+      // values onto the COMBINED pair table — old pairs' stale tf and new
+      // pairs' wrong-denominator tf (narrowGammas computed them against the
+      // increment/corpus sides alone) are overwritten in one pass. Gamma
+      // columns ride through unchanged; no pair is re-compared. The result
+      // replaces the checkpoint via a staging swap because the stored pairs'
+      // tf bytes genuinely change.
+      def tfLookup(suffix: String, idName: String): DataFrame = {
+        // withTfColumns = the exact code path a from-scratch run uses to
+        // attach side tf columns, so the refreshed doubles are bit-identical
+        // to a full re-dedupe of corpus UNION increment
+        val withTf = TermFrequency.withTfColumns(full, tfSpecs, suffix)
+        val look = withTf.select(col(idCol).as(idName) +:
+          tfSpecs.map(s => col(s"tf_${s.varname}$suffix")): _*)
+        if (n <= TermFrequency.DefaultBroadcastMaxDistinct) broadcast(look)
+        else look
+      }
+      val old = spark.read.parquet(gdir)
+      val colOrder = old.columns.toSeq // keep the checkpoint schema stable
+      val tfCols = tfSpecs.flatMap(s =>
+        Seq(TermFrequency.tfColA(s.varname), TermFrequency.tfColB(s.varname)))
+      val refreshed = old.unionByName(gIC).unionByName(gII)
+        .drop(tfCols: _*)
+        .join(tfLookup("_a", "id_a"), Seq("id_a"), "left")
+        .join(tfLookup("_b", "id_b"), Seq("id_b"), "left")
+        .select(colOrder.map(col): _*)
+      val staging = s"${gdir}__tfswap"
+      deleteRecursive(staging)
+      refreshed.write.mode("overwrite").parquet(staging)
+      // swap: a crash anywhere in this window leaves the gamma stage
+      // incomplete (meta + link sidecar already deleted above) and at worst
+      // an orphaned staging dir — the next run recomputes from scratch and
+      // the next append clears the orphan
+      deleteRecursive(gdir)
+      val fs = new HPath(gdir).getFileSystem(hconf())
+      require(fs.rename(new HPath(staging), new HPath(gdir)),
+        s"failed to move refreshed gamma checkpoint $staging -> $gdir")
+    }
     // link sidecar BEFORE the completeness flip: a crash between the two
     // must leave the stage incomplete (clean recompute), never complete
     // without its fingerprint/dims drift guard
@@ -445,7 +538,6 @@ object Checkpoints {
     // recompute the downstream stages over the combined pair table (pattern
     // counts + driver EM + threshold + clustering: cheap relative to the
     // pair space)
-    val full = corpus.unionByName(increment)
     linkAndClusterResumable(asA(full), asB(full), cfg, blockCols, root,
       maxBlockRows, fanoutPartitions,
       pairFilter = Some(dedupePairFilter),

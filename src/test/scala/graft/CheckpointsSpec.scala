@@ -313,7 +313,7 @@ class CheckpointsSpec extends SparkSpec {
     assert(infoAfter.perPartitionRows.sum == infoAfter.rows)
   }
 
-  test("incremental append guards: drifted corpus, TF configs, shared ids") {
+  test("incremental append guards: drifted corpus, shared ids") {
     val root = tmpRoot()
     val pages = webPages(200).select("page_id", "title", "n_tokens", "block")
     val cfgD = MatchConfig(
@@ -338,13 +338,101 @@ class CheckpointsSpec extends SparkSpec {
       Checkpoints.appendDedupeIncrement(corpus, corpus.limit(5), "page_id", cfgD,
         Seq("block"), root))
     assert(shared.getMessage.contains("disjoint"))
-    // TF-adjusted config rejected up front
-    val cfgTf = cfgD.copy(comparisons = ComparisonGroup("web", Seq(
-      VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88, tfAdjust = true))))
-    val tf = intercept[IllegalArgumentException](
-      Checkpoints.appendDedupeIncrement(corpus, inc, "page_id", cfgTf,
-        Seq("block"), root))
-    assert(tf.getMessage.contains("TF"))
+  }
+
+  test("TF-adjusted incremental append == from-scratch dedupe of the union") {
+    // TF denominators are corpus-wide value frequencies, so the append must
+    // REFRESH every stored pair's tf columns against corpus UNION increment
+    // (one row-scale lookup join — no pair re-compared) for the final_zeta
+    // scores to match a from-scratch run exactly
+    val rootFull = tmpRoot()
+    val rootInc = tmpRoot()
+    val pages = webPages(400).select("page_id", "title", "n_tokens", "block")
+    val cfgTf = MatchConfig(
+      idA = "__ida", idB = "__idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88,
+          tfAdjust = true),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    def asA(df: org.apache.spark.sql.DataFrame) = df.withColumnRenamed("page_id", "__ida")
+    def asB(df: org.apache.spark.sql.DataFrame) = df.withColumnRenamed("page_id", "__idb")
+    def dedupe(df: org.apache.spark.sql.DataFrame, root: String) =
+      Checkpoints.linkAndClusterResumable(asA(df), asB(df), cfgTf, Seq("block"), root,
+        pairFilter = Some(Checkpoints.dedupePairFilter),
+        comparisonSpace = Some(Checkpoints.dedupeComparisonSpace))
+
+    dedupe(pages, rootFull).count()
+    val corpus = pages.filter(pmod(col("page_id"), lit(4)) =!= 0)
+    val inc = pages.filter(pmod(col("page_id"), lit(4)) === 0)
+    dedupe(corpus, rootInc).count()
+    Checkpoints.appendDedupeIncrement(corpus, inc, "page_id", cfgTf,
+      Seq("block"), rootInc).count()
+
+    // matches checkpoint stores final_zeta (aliased zeta_j) because TF ran —
+    // exact double equality proves the refreshed frequencies, u-values, and
+    // adjustment weights all reproduce the from-scratch math bit-for-bit
+    def unorderedMatches(root: String) =
+      spark.read.parquet(s"$root/matches")
+        .select(least(col("id_a"), col("id_b")), greatest(col("id_a"), col("id_b")),
+          col("zeta_j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(unorderedMatches(rootInc) == unorderedMatches(rootFull))
+    assert(unorderedMatches(rootInc).nonEmpty)
+    def grouping(root: String) =
+      spark.read.parquet(s"$root/clusters").collect()
+        .groupBy(_.getAs[Long]("component"))
+        .map(_._2.map(_.getAs[Long]("node")).toSet).toSet
+    assert(grouping(rootInc) == grouping(rootFull))
+    // the refreshed gamma checkpoint's tf columns equal the full run's for
+    // every stored pair (not just the matched ones)
+    def tfByPair(root: String) =
+      spark.read.parquet(s"$root/gammas")
+        .select(least(col("id_a"), col("id_b")), greatest(col("id_a"), col("id_b")),
+          col("tf_title_a"), col("tf_title_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+    val tfInc = tfByPair(rootInc)
+    val tfFull = tfByPair(rootFull)
+    assert(tfInc.keySet == tfFull.keySet)
+    assert(tfInc.forall { case (k, v) =>
+      // unordered key: the a/b tf values may swap sides with the id order
+      val w = tfFull(k); v == w || v == w.swap
+    })
+    // and the lineage sidecar covers the refreshed table
+    val info = Checkpoints.readInfo(rootInc, "gammas").get
+    assert(info.perPartitionRows.sum == info.rows && info.rows == tfInc.size)
+  }
+
+  test("cache-mode resume fails fast when inputs drifted and stages must recompute") {
+    val root = tmpRoot()
+    val pages = webPages(300)
+    def side(id: String) = pages.select(col("page_id").as(id), col("title"),
+      col("n_tokens"), col("block"))
+    val cfg = MatchConfig(
+      idA = "ida", idB = "idb",
+      comparisons = ComparisonGroup("web", Seq(
+        VariableSpec("title", "jarowinkler", cutA = 0.92, cutB = 0.88),
+        VariableSpec("n_tokens", "numeric", cutA = 1, cutB = 3))))
+    val n1 = Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), root, gammaMode = "cache").count()
+    assert(n1 > 0)
+    // fully checkpointed: a resume serves the stored (consistently old-era)
+    // result without touching pair-scale compute, so drifted inputs are fine
+    assert(Checkpoints.linkAndClusterResumable(
+      side("ida").limit(50), side("idb"), cfg, Seq("block"), root,
+      gammaMode = "cache").count() == n1)
+    // downstream lost + drifted inputs: the pair join would re-run over the
+    // NEW inputs while the EM reuses OLD pinned dims + pattern counts — a
+    // silently mixed-era output; must fail fast instead
+    Seq("matches", "clusters").foreach(rmStageAt(root, _))
+    val e = intercept[IllegalStateException](Checkpoints.linkAndClusterResumable(
+      side("ida").limit(50), side("idb"), cfg, Seq("block"), root,
+      gammaMode = "cache"))
+    assert(e.getMessage.contains("drifted"))
+    // the undrifted inputs still resume cleanly
+    assert(Checkpoints.linkAndClusterResumable(
+      side("ida"), side("idb"), cfg, Seq("block"), root,
+      gammaMode = "cache").count() == n1)
   }
 
   test("unordered pair count is exact past the Long bound (10^12-doc regime)") {

@@ -428,8 +428,9 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_minhash" -> ((s, dir) => {
-      // MinHash+LSH candidates verified by true n-gram jaccard (hash-bucket
-      // generation is engine-specific -> rows-only check; recall vs brute
+      // MinHash+LSH candidates verified by true n-gram jaccard; the oracle
+      // recomputes the jaccard of every EMITTED pair from the documents
+      // table (value + threshold adjudicated; candidate recall vs brute
       // force is unit-tested in TextOpsSpec)
       Dedup.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3, shingleSize = 3, numHashes = 32, bands = 16)
@@ -775,6 +776,51 @@ object SparkEntry {
          |   ELSE len(list_intersect(${toks("a.text")}, ${toks("b.text")})) * 1.0
          |        / len(list_distinct(list_concat(${toks("a.text")}, ${toks("b.text")})))
          |  END, 6) >= 0.5
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "q_dedup_minhash" -> {
+      // LSH candidate GENERATION is engine-specific (xxhash band keys), but
+      // the emitted VALUES are not: the oracle re-reads the emitted pair set
+      // (`__OUT_DIR__` is substituted with the run's output dir by
+      // graft.Verify when it dumps oracle_sql.json) and recomputes each
+      // pair's TRUE 3-token-shingle jaccard from the documents table — a
+      // wrong jaccard, a below-threshold pair, or an id not in the corpus
+      // all hash-mismatch. Candidate recall stays pinned by the
+      // brute-force-recall unit test (TextOpsSpec).
+      val norm = normSql("text")
+      val toks = s"string_split($norm, ' ')"
+      val shingles =
+        s"""list_filter(list_transform(
+           |   generate_series(1, greatest(len($toks) - 3, 0) + 1),
+           |   i -> array_to_string($toks[i:least(i + 2, len($toks))], ' ')),
+           |  x -> x <> '')""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT id_a, id_b FROM read_parquet('__OUT_DIR__/q_dedup_minhash.parquet')),
+         | sh AS (SELECT doc_id, list_distinct($shingles) AS s FROM documents),
+         | scored AS (
+         |  SELECT p.id_a, p.id_b,
+         |   CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 1.0
+         |    ELSE len(list_intersect(a.s, b.s)) * 1.0
+         |         / len(list_distinct(list_concat(a.s, b.s)))
+         |   END AS j
+         |  FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+         |               JOIN sh b ON b.doc_id = p.id_b)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored
+         |WHERE j >= 0.3 ORDER BY 1, 2""".stripMargin
+    },
+    "q_dedup_simhash" -> {
+      // The hamming VALUE is over engine-defined 64-bit signatures (xxhash
+      // kernel — not reproducible in ANSI SQL; the kernel itself is pinned
+      // bit-identical to two independent Spark implementations in
+      // TextOpsSpec). What the oracle CAN adjudicate on the emitted rows:
+      // pair ordering, the <= maxHamming contract, non-negative distances,
+      // pair uniqueness (DISTINCT collapses any dupes into a row-count
+      // mismatch), and that both ids exist in the corpus.
+      s"""SELECT DISTINCT p.id_a, p.id_b, p.hamming
+         |FROM read_parquet('__OUT_DIR__/q_dedup_simhash.parquet') p
+         |JOIN documents a ON a.doc_id = p.id_a
+         |JOIN documents b ON b.doc_id = p.id_b
+         |WHERE p.id_a < p.id_b AND p.hamming BETWEEN 0 AND 10
          |ORDER BY 1, 2""".stripMargin
     },
     "q_ann_topk" ->

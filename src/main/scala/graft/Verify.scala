@@ -70,7 +70,7 @@ object Verify {
         var n = 0L
         var acc = BigInt(0)
         it.foreach { r =>
-          val s = (0 until r.length).map(i => canonValue(r.get(i))).mkString("")
+          val s = (0 until r.length).map(i => canonValue(r.get(i))).mkString("\u0001")
           acc = (acc + BigInt(1, md.digest(s.getBytes("UTF-8")))) % (BigInt(1) << 128)
           n += 1
         }
@@ -123,8 +123,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Self-referential oracles (the LSH queries re-verify VALUES on exactly
+    // the emitted pair set) carry a __OUT_DIR__ placeholder — substitute the
+    // run's resolved output dir (absolute, so the oracle runner's cwd is
+    // irrelevant) at dump time.
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUT_DIR__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
     var ok = 0

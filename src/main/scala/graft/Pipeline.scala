@@ -20,11 +20,16 @@ import graft.operators.Checkpoints
   *   [--increment /data/pages_day2.parquet] [--gamma-checkpoint parquet|cache]
   * }}}
   *
-  * `--gamma-checkpoint cache` switches the pair-scale gamma table from a
-  * parquet checkpoint to an in-run cache (sufficient-statistics
-  * checkpointing): only pattern counts, matches, and clusters persist, and a
-  * resume re-runs the fused pair join at most once. At pair spaces too big
-  * to store (the 10^12-document regime) this is the only viable shape — see
+  * `--gamma-checkpoint` picks the pair-scale gamma materialization: `cache`
+  * (the DEFAULT for non-increment runs) keeps it in an in-run cache
+  * (sufficient-statistics checkpointing — only pattern counts, matches, and
+  * clusters persist; a resume re-runs the fused pair join at most once),
+  * `parquet` (the default when `--increment` is given, which requires it)
+  * writes it as a resumable, appendable checkpoint. Cache is the default
+  * because the parquet encode+write of the pair table is the measured
+  * bottleneck as the pair space grows (SCALING_parquet 0.656 vs
+  * SCALING_cache 0.820 N->4N on one local disk) and is impossible outright
+  * in the 10^12-document regime — see
   * [[graft.operators.Checkpoints.linkAndClusterResumable]].
   *
   * `--increment` (dedupe mode only) extends the previous run's gamma
@@ -100,7 +105,16 @@ object Pipeline {
         require(v == "parquet" || v == "cache",
           s"--gamma-checkpoint must be 'parquet' or 'cache', got '$v'")
         v
-      }.getOrElse("parquet"))
+      }.getOrElse(
+        // default by intent: an --increment run NEEDS the materialized gamma
+        // table (the append extends it), so it defaults to parquet; every
+        // other run defaults to cache — the mode that never pays the
+        // pair-scale parquet encode+write (measured N->4N on one local disk:
+        // cache 0.820 vs parquet 0.656, SCALING_*.json) and the only viable
+        // shape once the pair space outgrows storage. Pass the flag
+        // explicitly to pin either mode (e.g. parquet on day 1 of a pipeline
+        // that will take increments later).
+        if (m.contains("increment")) "parquet" else "cache"))
   }
 
   /** Runs the pipeline; returns the JSON summary line. Separated from
@@ -208,6 +222,20 @@ object Pipeline {
       }
     }.mkString("{", ",", "}")
     val sec = (System.nanoTime() - t0) / 1e9
+    // operator hint: when the parquet gamma write is the majority of the
+    // run, the pair table has outgrown the store-it shape — say so (stderr
+    // only; the stdout contract stays one JSON line)
+    // ...and only when the gamma stage actually ran in THIS invocation — a
+    // resumed stage's recorded sec is the ORIGINAL write wall, which can
+    // exceed the resume run's entire total
+    for (g <- infosAfter.get("gammas") if args.gammaMode == "parquet" &&
+        !resumed.contains("gammas") &&
+        g.secs > 0 && sec > 0 && g.secs / sec > 0.5)
+      System.err.println(
+        f"[pipeline] gamma checkpoint write took ${g.secs}%.1fs of ${sec}%.1fs " +
+          f"total (${100 * g.secs / sec}%.0f%%) — if you do not need the " +
+          "materialized pair table (no --increment planned), rerun with " +
+          "--gamma-checkpoint cache to skip the pair-scale write")
     s"""{"link_type":"${cfg.linkType}","stages":$stageJson,""" +
       s""""increment":${args.increment.map("\"" + _ + "\"").getOrElse("null")},""" +
       s""""resumed_stages":${resumed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

@@ -132,7 +132,12 @@ object ConnectedComponents {
         .distinct())
 
     val nEdges = e.count()
-    if (nEdges <= localMaxEdges) {
+    // clamp the local-path cutoff so nEdges.toInt below can never wrap: a
+    // caller raising localMaxEdges past Int.MaxValue would otherwise turn
+    // the Array allocation into NegativeArraySizeException (or silent
+    // truncation for 2^31..2^32) — above the clamp the distributed loop is
+    // the only sane path anyway
+    if (nEdges <= math.min(localMaxEdges, Int.MaxValue.toLong)) {
       // streamed collect (partition at a time) into primitive arrays — the
       // retained driver footprint is the two long arrays, not boxed rows
       val n = nEdges.toInt

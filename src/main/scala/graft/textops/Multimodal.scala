@@ -225,6 +225,10 @@ object Multimodal {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case _: Throwable => return decodeStub(payload, dim) }
+    // createImageInputStream returns null when no ImageInputStream SPI is
+    // registered — without this check the finally close() would throw NPE
+    // out of the executor task instead of degrading to the stub
+    if (iis == null) return decodeStub(payload, dim)
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return decodeStub(payload, dim)

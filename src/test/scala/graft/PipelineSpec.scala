@@ -38,7 +38,8 @@ class PipelineSpec extends SparkSpec {
       "--checkpoint", s"$dir/ckpt",
       "--out", s"$dir/clusters.parquet",
       "--max-block-rows", "200",
-      "--fanout", "8"))
+      "--fanout", "8",
+      "--gamma-checkpoint", "parquet")) // this test exercises the full-resume path
     assert(args.inputB.isEmpty && args.maxBlockRows.contains(200L))
 
     val summary1 = Pipeline.run(spark, args)
@@ -75,7 +76,10 @@ class PipelineSpec extends SparkSpec {
       "--config", writeConfig(dir),
       "--block", "block",
       "--checkpoint", s"$dir/ckpt",
-      "--out", s"$dir/clusters.parquet")
+      "--out", s"$dir/clusters.parquet",
+      // day 1 of an increment-taking pipeline must pin parquet explicitly:
+      // the default is cache, which writes no gamma table to append to
+      "--gamma-checkpoint", "parquet")
     Pipeline.run(spark, Pipeline.parseArgs(base))
     val day1Nodes = spark.read.parquet(s"$dir/clusters.parquet")
       .select("node").collect().map(_.getLong(0)).toSet
@@ -130,6 +134,21 @@ class PipelineSpec extends SparkSpec {
       "--checkpoint", s"$dir/ckpt"))
     val e = intercept[IllegalArgumentException](Pipeline.run(spark, args))
     assert(e.getMessage.contains("unique ACROSS"))
+  }
+
+  test("gamma-checkpoint defaults: cache normally, parquet when --increment needs it") {
+    val base = Seq("--input-a", "a", "--config", "c", "--checkpoint", "r")
+    // cache is the default — the mode that never pays the pair-scale parquet
+    // write (and the only viable one past storable pair spaces)
+    assert(Pipeline.parseArgs(base).gammaMode == "cache")
+    // an increment run extends the materialized gamma table, so the default
+    // flips to parquet rather than failing on a missing checkpoint
+    assert(Pipeline.parseArgs(base ++ Seq("--increment", "i")).gammaMode == "parquet")
+    // explicit flags always win
+    assert(Pipeline.parseArgs(base ++ Seq("--gamma-checkpoint", "parquet"))
+      .gammaMode == "parquet")
+    assert(Pipeline.parseArgs(base ++ Seq("--gamma-checkpoint", "cache"))
+      .gammaMode == "cache")
   }
 
   test("pipeline arg parsing rejects missing/unpaired flags") {

@@ -501,6 +501,95 @@ class TextOpsSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("URL canonicalization differential-fuzz vs java.net.URI on 10k seeded URLs") {
+    // canonicalUrl is regex-built; two of its edge-case bugs (query-start
+    // backtracking, trailing-dot pinning) were caught by review, so pin the
+    // parser against an independent oracle: wherever java.net.URI parses the
+    // input, OUR canonical form must agree with URI's read of scheme, host,
+    // port, path, and query multiset. Everywhere (parseable or junk) the
+    // canonical form must be idempotent; junk must pass through unchanged.
+    val rnd = new scala.util.Random(20260818L)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val schemes = Seq("http", "HTTP", "https", "HtTpS", "ftp", "ws+x-1.a", "")
+    val userinfos = Seq("", "", "", "user@", "u:p@", "A%20b@")
+    val hostLabels = Seq("example", "EXAMPLE", "ex-ample", "a1", "9to5", "xn--bcher-kva")
+    val tlds = Seq("com", "ORG", "co.uk", "io", "net")
+    val ports = Seq("", "", "", ":80", ":443", ":8080", ":1", ":65535")
+    val pathSegs = Seq("", "A", "b", "a%2Fb", "~u", "..", ".", "x.y", "UPPER")
+    val keys = Seq("a", "B", "z", "utm_source", "utm_campaign", "fbclid", "gclid",
+      "key", "redirect", "q")
+    val vals = Seq("1", "x", "", "a/b", "x?y=1", "A%26B", "==", "HTTP://nested.example/p")
+    def genUrl(): String = {
+      val scheme = pick(schemes)
+      if (scheme.isEmpty) pick(Seq("no scheme here", "example.com/path", "", "::::"))
+      else {
+        val host = (Seq.fill(rnd.nextInt(3) + 1)(pick(hostLabels)) :+ pick(tlds))
+          .mkString(".") + ("." * rnd.nextInt(3))
+        val path = if (rnd.nextInt(4) == 0) ""
+          else "/" + Seq.fill(rnd.nextInt(4))(pick(pathSegs)).mkString("/")
+        val query = if (rnd.nextInt(3) == 0) ""
+          else "?" + Seq.fill(rnd.nextInt(5))(
+            if (rnd.nextInt(8) == 0) "" // empty component ("a=1&&b=2")
+            else if (rnd.nextInt(8) == 0) pick(keys) // key-only
+            else s"${pick(keys)}=${pick(vals)}").mkString("&")
+        val frag = if (rnd.nextInt(3) == 0) "" else "#" + pick(Seq("x", "a?b=1", "/f", ""))
+        s"$scheme://${pick(userinfos)}$host${pick(ports)}$path$query$frag"
+      }
+    }
+    val urls = Seq.fill(10000)(genUrl()).distinct
+    import spark.implicits._
+    val rows = urls.toDF("url").select(
+      col("url"),
+      UrlOps.canonicalUrl(col("url")).as("canon"),
+      UrlOps.canonicalUrl(UrlOps.canonicalUrl(col("url"))).as("canon2"),
+      UrlOps.surtKey(col("url")).as("surt"),
+      UrlOps.surtKey(UrlOps.canonicalUrl(col("url"))).as("surt2"))
+      .collect()
+    // independent twin of the canonQuery kernel's contract (ASCII inputs:
+    // String order == UTF8 byte order)
+    val tracking = graft.textops.UrlOps.trackingParamRegex.r
+    def expectQuery(raw: String): Seq[String] =
+      raw.split("&", -1).filter(p => p.nonEmpty && tracking.findFirstIn(p).isEmpty)
+        .sorted.toSeq
+    var checked = 0
+    rows.foreach { r =>
+      val (url, canon, canon2, surt, surt2) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      assert(canon == canon2, s"not idempotent: $url -> $canon -> $canon2")
+      assert(surt == surt2, s"surt not canonical-stable: $url")
+      if (!url.matches("^[^:/?#]+://.*")) assert(canon == url, s"junk mutated: $url")
+      val parsed =
+        try {
+          val u = new java.net.URI(url)
+          if (u.isAbsolute && u.getHost != null && u.getRawPath != null) Some(u) else None
+        } catch { case _: java.net.URISyntaxException => None }
+      parsed.foreach { u =>
+        checked += 1
+        val c = new java.net.URI(canon) // canonical form must itself parse
+        assert(c.getScheme == u.getScheme.toLowerCase(java.util.Locale.ROOT),
+          s"scheme: $url -> $canon")
+        val expHost = u.getHost.toLowerCase(java.util.Locale.ROOT).replaceAll("\\.+$", "")
+        assert(c.getHost == expHost, s"host: $url -> $canon (URI says $expHost)")
+        assert(c.getUserInfo == null, s"userinfo survived: $url -> $canon")
+        assert(c.getFragment == null && !canon.contains("#"),
+          s"fragment survived: $url -> $canon")
+        val scheme = u.getScheme.toLowerCase(java.util.Locale.ROOT)
+        val expPort =
+          if ((scheme == "http" && u.getPort == 80) ||
+            (scheme == "https" && u.getPort == 443)) -1
+          else u.getPort
+        assert(c.getPort == expPort, s"port: $url -> $canon (expected $expPort)")
+        val expPath = if (u.getRawPath.isEmpty) "/" else u.getRawPath
+        assert(c.getRawPath == expPath, s"path: $url -> $canon (URI says $expPath)")
+        val expQ = expectQuery(Option(u.getRawQuery).getOrElse(""))
+        val gotQ = Option(c.getRawQuery).map(_.split("&", -1).toSeq).getOrElse(Nil)
+        assert(gotQ == expQ, s"query: $url -> $canon (URI params $expQ, got $gotQ)")
+      }
+    }
+    // the generator must actually exercise the oracle (not all-junk)
+    assert(checked > 3000, s"only $checked URI-parseable URLs — generator broken")
+  }
+
   test("SQL-registered kernels are callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -362,11 +362,18 @@ class CheckpointsSpec extends SparkSpec {
         comparisonSpace = Some(Checkpoints.dedupeComparisonSpace))
 
     dedupe(pages, rootFull).count()
-    val corpus = pages.filter(pmod(col("page_id"), lit(4)) =!= 0)
-    val inc = pages.filter(pmod(col("page_id"), lit(4)) === 0)
+    // two-day chain: day-1 corpus, then TWO successive appends — the refresh
+    // must compose (day-3 frequencies are over the whole grown corpus, and
+    // day-2's refreshed values are refreshed AGAIN)
+    val corpus = pages.filter(pmod(col("page_id"), lit(4)).isin(1, 2))
+    val inc2 = pages.filter(pmod(col("page_id"), lit(4)) === 3)
+    val inc3 = pages.filter(pmod(col("page_id"), lit(4)) === 0)
+    assert(corpus.count() > 0 && inc2.count() > 0 && inc3.count() > 0)
     dedupe(corpus, rootInc).count()
-    Checkpoints.appendDedupeIncrement(corpus, inc, "page_id", cfgTf,
+    Checkpoints.appendDedupeIncrement(corpus, inc2, "page_id", cfgTf,
       Seq("block"), rootInc).count()
+    Checkpoints.appendDedupeIncrement(corpus.unionByName(inc2), inc3, "page_id",
+      cfgTf, Seq("block"), rootInc).count()
 
     // matches checkpoint stores final_zeta (aliased zeta_j) because TF ran —
     // exact double equality proves the refreshed frequencies, u-values, and

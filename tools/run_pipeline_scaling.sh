@@ -14,8 +14,10 @@
 # Usage: tools/run_pipeline_scaling.sh [workdir]
 #   env: NBASE=100000 NHOSTS=60 CPUS_N=2 CPUS_4N=8 REPS=2 CPUS_PEAK=32
 #        (CPUS_PEAK=0 skips the peak run)
-#        GAMMA_MODE=parquet|cache — pair-table checkpoint materialization
-#        (cache = sufficient-statistics checkpointing; no gamma parquet)
+#        GAMMA_MODE=parquet|cache|default — pair-table checkpoint
+#        materialization (cache = sufficient-statistics checkpointing, no
+#        gamma parquet; default = OMIT the flag and measure whatever the
+#        CLI's default resolves to — cache for non-increment runs)
 set -euo pipefail
 
 WORK="${1:-/tmp/pipe_scaling}"
@@ -67,10 +69,12 @@ run_level() { # run_level <cpus> <tag> <rep>  -> prints the summary JSON line
   local cpus="$1" tag="$2" rep="$3"
   local ckpt="$WORK/ckpt_${tag}_r${rep}"
   rm -rf "$ckpt"
+  local modeargs=()
+  [ "$GAMMA_MODE" != default ] && modeargs=(--gamma-checkpoint "$GAMMA_MODE")
   ( cd "$WORK" && submit "$cpus" --class graft.Pipeline "$CLASSES" \
       --input-a "$PAGES" --config "$CONFIG" --block block \
       --max-block-rows 1000 --checkpoint "$ckpt" --fanout 64 \
-      --gamma-checkpoint "$GAMMA_MODE" 2>/dev/null \
+      "${modeargs[@]}" 2>/dev/null \
       | tail -1 )
   rm -rf "$ckpt"   # ~1.5 GB of gamma parquet per run — don't accumulate
 }

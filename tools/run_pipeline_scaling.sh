@@ -41,10 +41,14 @@ REPS_4N="${REPS_4N:-$REPS}"
 DRIVER_MEM="${DRIVER_MEM:-16g}"
 WARMUP="${WARMUP:-4N}"
 GAMMA_MODE="${GAMMA_MODE:-parquet}"
-CLASSES=/root/repo/target/scala-2.13/classes
 SUBMIT=/opt/spark/bin/spark-submit
 
 mkdir -p "$WORK"
+# snapshot the compiled classes so an sbt compile during a multi-hour probe
+# can't swap class files under a running JVM (classes load lazily)
+CLASSES="$WORK/classes_snapshot"
+rm -rf "$CLASSES"
+cp -r /root/repo/target/scala-2.13/classes "$CLASSES"
 PAGES="$WORK/pages.parquet"
 CONFIG="$WORK/config.json"
 

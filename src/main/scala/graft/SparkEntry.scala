@@ -613,6 +613,54 @@ object SparkEntry {
       Evaluation.bcubed(
         c.select(col("c_custkey").as("node"), col("c_nationkey").as("cluster")),
         c.select(col("c_custkey").as("node"), col("c_mktsegment").as("cluster")))
+    }),
+    "q_quality_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals — zero-shuffle projection
+      // (per-row bigram mode via sort-then-max-run, no corpus aggregate)
+      QualityFilters.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      // PII detection + redaction: plant a deterministic email/IP/phone per
+      // document (built from doc_id in BOTH engines), then count and redact.
+      // The oracle runs the same RE2-safe patterns in DuckDB, so any regex
+      // dialect drift (anchors, boundaries, greediness) hash-mismatches.
+      val d = col("doc_id")
+      val planted = concat(col("text"),
+        lit(" contact user"), d.cast("string"), lit("@example.com"),
+        lit(" from 10."), pmod(d, lit(256)).cast("string"), lit(".0.1"),
+        lit(" call +1 555-01"),
+        lpad(pmod(d, lit(100)).cast("string"), 2, "0"))
+      val (ne, ni, np) = QualityFilters.piiCounts(planted)
+      t(s, dir, "documents")
+        .select(d.as("doc_id"),
+          ne.cast("long").as("n_emails"), ni.cast("long").as("n_ips"),
+          np.cast("long").as("n_phones"),
+          md5(QualityFilters.redactPii(planted)).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_lines" -> ((s, dir) => {
+      // corpus-level boilerplate line removal (RefinedWeb line dedup): wrap
+      // every document in shared cookie/copyright lines, then drop every
+      // line whose normalized form appears in >= 2 distinct documents and
+      // reassemble in order. The injected boilerplate must vanish; bodies
+      // of exact-duplicate docs vanish too (shared across >= 2 docs) — all
+      // deterministic and adjudicated by the DuckDB twin.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Cookie Notice: accept all cookies\n"), col("text"),
+          lit("\nCopyright "), col("source"),
+          lit(" all rights reserved")).as("text"))
+      QualityFilters.dedupLines(docs, "doc_id", "text", minDupDocs = 2)
+        .orderBy("doc_id")
+    }),
+    "q_unigram_surprisal" -> ((s, dir) => {
+      // model-based quality score (CCNet-style): mean unigram surprisal of
+      // each document under the corpus's own token distribution — the
+      // vocabulary is TextStats.tokenFrequencies (row-scale, broadcast)
+      val docs = t(s, dir, "documents")
+      val vocab = TextStats.tokenFrequencies(docs, "doc_id", "text")
+      QualityFilters.unigramSurprisal(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -948,5 +996,97 @@ object SparkEntry {
         |  sum_r / n_nodes AS bcubed_recall,
         |  2.0 * (sum_p / n_nodes) * (sum_r / n_nodes)
         |    / ((sum_p / n_nodes) + (sum_r / n_nodes)) AS bcubed_f1
-        |FROM sums""".stripMargin)
+        |FROM sums""".stripMargin,
+    "q_quality_repetition" -> {
+      val norm = normSql("text")
+      s"""WITH tk AS (
+         |  SELECT doc_id, CASE WHEN length($norm) = 0 THEN []::VARCHAR[]
+         |    ELSE string_split($norm, ' ') END AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i + 1]) END AS bi,
+         |    CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(toks) - 3),
+         |             i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END AS g5
+         |  FROM tk),
+         |top AS (
+         |  SELECT doc_id, max(c) AS topn, sum(c) AS total FROM (
+         |    SELECT doc_id, gram, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(bi) AS gram FROM g) GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT g.doc_id,
+         |  cast(len(toks) AS int) AS n_tokens,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 6)
+         |    AS dup_token_frac,
+         |  round(CASE WHEN len(g5) = 0 THEN 0.0
+         |    ELSE 1.0 - len(list_distinct(g5)) * 1.0 / len(g5) END, 6)
+         |    AS dup_5gram_frac,
+         |  round(coalesce(topn * 1.0 / total, 0.0), 6) AS top_bigram_frac
+         |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+         |ORDER BY g.doc_id""".stripMargin
+    },
+    "q_pii_redact" -> {
+      val (e, i, p) =
+        (QualityFilters.EmailRe, QualityFilters.Ipv4Re, QualityFilters.PhoneRe)
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com'
+         |      || ' from 10.' || (doc_id % 256) || '.0.1'
+         |      || ' call +1 555-01' || lpad(cast(doc_id % 100 AS varchar), 2, '0')
+         |      AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, t,
+         |  regexp_replace(t, '$e', ' ', 'g') AS no_email FROM planted),
+         |s2 AS (SELECT *,
+         |  regexp_replace(no_email, '$i', ' ', 'g') AS no_ip FROM s1)
+         |SELECT doc_id,
+         |  cast(len(regexp_extract_all(t, '$e')) AS bigint) AS n_emails,
+         |  cast(len(regexp_extract_all(no_email, '$i')) AS bigint) AS n_ips,
+         |  cast(len(regexp_extract_all(no_ip, '$p')) AS bigint) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(
+         |    t, '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$p', '<PHONE>', 'g'))
+         |    AS redacted_md5
+         |FROM s2 ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_lines" -> {
+      val normLn = normSql("ln")
+      s"""WITH d2 AS (
+         |  SELECT doc_id,
+         |    'Cookie Notice: accept all cookies' || chr(10) || text || chr(10)
+         |      || 'Copyright ' || source || ' all rights reserved' AS t
+         |  FROM documents),
+         |lines AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+         |    unnest(string_split(t, chr(10))) AS ln
+         |  FROM d2),
+         |hot AS (
+         |  SELECT md5($normLn) AS lh FROM lines
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (
+         |  SELECT doc_id, pos, ln FROM lines
+         |  WHERE md5($normLn) NOT IN (SELECT lh FROM hot))
+         |SELECT d2.doc_id, coalesce(k.text_clean, '') AS text_clean
+         |FROM d2 LEFT JOIN (
+         |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_clean
+         |  FROM kept GROUP BY 1) k ON d2.doc_id = k.doc_id
+         |ORDER BY d2.doc_id""".stripMargin
+    },
+    "q_unigram_surprisal" -> {
+      val norm = normSql("text")
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(CASE WHEN length($norm) = 0 THEN []::VARCHAR[]
+         |    ELSE string_split($norm, ' ') END) AS token
+         |  FROM documents),
+         |vocab AS (SELECT token, count(*) AS n FROM tk GROUP BY 1),
+         |tot AS (SELECT sum(n) AS total FROM vocab)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+         |  round(avg(-ln(n * 1.0 / total)), 6) AS mean_surprisal
+         |FROM tk JOIN vocab USING (token) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
 }

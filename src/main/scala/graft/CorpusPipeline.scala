@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.textops.{Dedup, QualityFilters, TextStats}
+
+/** spark-submit entry point for the training-data curation pipeline over a
+  * documents table: exact dedup → corpus-level boilerplate line removal →
+  * repetition/quality filtering → PII redaction → filtered parquet, with a
+  * machine-parseable one-line JSON report of why every dropped document was
+  * dropped.
+  *
+  * {{{
+  * spark-submit --master <cluster> --class graft.CorpusPipeline <classpath> \
+  *   --input /data/documents.parquet --out /data/filtered.parquet \
+  *   [--id doc_id] [--text text] \
+  *   [--line-dup-docs 5]      boilerplate = line in >= N distinct docs \
+  *   [--min-tokens 10] [--max-dup-5gram 0.3] [--max-top-bigram 0.2] \
+  *   [--min-quality 0.25] [--no-redact-pii]
+  * }}}
+  *
+  * Scale shape: ONE document-scale pass materializes every signal column
+  * (normalized hash, cleaned text, repetition stats, quality) — the only
+  * shuffles are the exact-dup keeper aggregate and the line-dedup
+  * hot-line aggregate + reassembly, all row-scale with map-side combine;
+  * no pair space exists anywhere. The drop accounting is one aggregate
+  * over the annotated table (a `drop_reason` column, first matching rule
+  * wins), not one count() action per stage — at 100 TB the difference is
+  * one scan versus six.
+  *
+  * Filter defaults follow the published Gopher / RefinedWeb ranges (Rae et
+  * al. 2021 table A1; Penedo et al. 2023 §4): repetition caps on duplicate
+  * 5-grams and the top bigram share, a minimum length, and a composite
+  * quality floor.
+  */
+object CorpusPipeline {
+
+  final case class Args(
+      input: String,
+      out: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      lineDupDocs: Long = 5L,
+      minTokens: Int = 10,
+      maxDup5gram: Double = 0.3,
+      maxTopBigram: Double = 0.2,
+      minQuality: Double = 0.25,
+      redactPii: Boolean = true)
+
+  private val knownFlags = Set("input", "out", "id", "text", "line-dup-docs",
+    "min-tokens", "max-dup-5gram", "max-top-bigram", "min-quality")
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var redact = true
+    var rest = argv.toList
+    while (rest.nonEmpty) rest match {
+      case "--no-redact-pii" :: tail => redact = false; rest = tail
+      case flag :: value :: tail if flag.startsWith("--") =>
+        val k = flag.stripPrefix("--")
+        // a misspelled flag must fail, not silently run with defaults
+        if (!knownFlags(k)) throw new IllegalArgumentException(
+          s"unknown flag --$k (known: ${(knownFlags + "no-redact-pii").toSeq.sorted.mkString(", ")})")
+        m(k) = value; rest = tail
+      case bad :: _ =>
+        throw new IllegalArgumentException(s"unpaired argument: $bad")
+    }
+    def req(k: String) = m.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required --$k"))
+    Args(
+      input = req("input"),
+      out = req("out"),
+      idCol = m.getOrElse("id", "doc_id"),
+      textCol = m.getOrElse("text", "text"),
+      lineDupDocs = m.get("line-dup-docs").map(_.toLong).getOrElse(5L),
+      minTokens = m.get("min-tokens").map(_.toInt).getOrElse(10),
+      maxDup5gram = m.get("max-dup-5gram").map(_.toDouble).getOrElse(0.3),
+      maxTopBigram = m.get("max-top-bigram").map(_.toDouble).getOrElse(0.2),
+      minQuality = m.get("min-quality").map(_.toDouble).getOrElse(0.25),
+      redactPii = redact)
+  }
+
+  /** Annotates every input document with its signal columns and a
+    * `drop_reason` (null = kept; first matching rule wins, in pipeline
+    * order: exact_dup → all_boilerplate → too_short → repetitive_5gram →
+    * repetitive_bigram → low_quality). Exposed separately so tests and
+    * notebooks can audit the decision per document.
+    */
+  def annotate(docs: DataFrame, a: Args): DataFrame = {
+    val id = col(a.idCol)
+    // exact dedup: keeper = min id per normalized text (one hash aggregate)
+    val keepers = docs
+      .select(id, md5(Dedup.normalizeText(col(a.textCol))).as("__h"))
+      .groupBy("__h").agg(min(id).as("__keeper"))
+    val withKeeper = docs
+      .withColumn("__h", md5(Dedup.normalizeText(col(a.textCol))))
+      .join(keepers, "__h")
+    // boilerplate line removal runs on the WHOLE corpus (duplicate docs
+    // must not be double-counted as line evidence — losers are dropped
+    // first, then lines are counted over the survivors)
+    val survivors = withKeeper.filter(id === col("__keeper"))
+      .select(id, col(a.textCol))
+    val cleaned = QualityFilters.dedupLines(
+      survivors, a.idCol, a.textCol, minDupDocs = a.lineDupDocs)
+    val signals = QualityFilters
+      .repetitionStats(cleaned, a.idCol, "text_clean")
+      .join(cleaned, a.idCol)
+      .withColumn("quality", TextStats.qualityScore(col("text_clean")))
+    val losers = withKeeper.filter(id =!= col("__keeper"))
+      .select(id, col("__keeper").as("exact_dup_of"))
+    val reason = when(col("exact_dup_of").isNotNull, "exact_dup")
+      .when(length(col("text_clean")) === 0, "all_boilerplate")
+      .when(col("n_tokens") < a.minTokens, "too_short")
+      .when(col("dup_5gram_frac") > a.maxDup5gram, "repetitive_5gram")
+      .when(col("top_bigram_frac") > a.maxTopBigram, "repetitive_bigram")
+      .when(col("quality") < a.minQuality, "low_quality")
+    signals
+      .join(losers, Seq(a.idCol), "full_outer")
+      .withColumn("drop_reason", reason)
+      .withColumn("text_out",
+        when(col("drop_reason").isNotNull, lit(null).cast("string"))
+          .otherwise(if (a.redactPii) QualityFilters.redactPii(col("text_clean"))
+            else col("text_clean")))
+  }
+
+  /** Runs the pipeline; returns the JSON report line. Separated from `main`
+    * so tests drive it with their own session.
+    */
+  def run(spark: SparkSession, a: Args): String = {
+    val t0 = System.nanoTime()
+    val docs = spark.read.parquet(a.input)
+    require(docs.columns.contains(a.idCol) && docs.columns.contains(a.textCol),
+      s"input must carry columns '${a.idCol}' and '${a.textCol}': " +
+        docs.columns.mkString(", "))
+    val annotated = annotate(docs, a).persist()
+    try {
+      val kept = annotated.filter(col("drop_reason").isNull)
+        .select(col(a.idCol), col("text_out").as(a.textCol),
+          col("n_tokens"), col("quality"))
+      kept.write.mode("overwrite").parquet(a.out)
+      // ONE aggregate for the whole report (not a count() per stage)
+      val byReason = annotated
+        .groupBy(coalesce(col("drop_reason"), lit("kept")).as("reason"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = byReason.values.sum
+      val reasons = Seq("exact_dup", "all_boilerplate", "too_short",
+        "repetitive_5gram", "repetitive_bigram", "low_quality")
+      val reasonJson = reasons
+        .map(r => s""""$r":${byReason.getOrElse(r, 0L)}""").mkString("{", ",", "}")
+      val sec = (System.nanoTime() - t0) / 1e9
+      s"""{"docs_in":$total,"docs_kept":${byReason.getOrElse("kept", 0L)},""" +
+        s""""dropped":$reasonJson,"redact_pii":${a.redactPii},""" +
+        s""""out":"${a.out}","sec":${Fmt.num(sec, 2)}}"""
+    } finally annotated.unpersist()
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName("graft-corpus-pipeline")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, a))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private val goodBody =
+    "science and history give the reader many good reasons to keep " +
+      "learning about the world every single day with fresh curiosity"
+
+  // planted corpus: shared boilerplate lines, one exact-dup pair, one
+  // repetitive spam doc, one too-short doc, one PII doc
+  private def corpus() = Seq(
+    (1L, s"COOKIE BANNER\n$goodBody one\nFOOTER"),
+    (2L, s"COOKIE BANNER\n$goodBody two\nFOOTER"),
+    (3L, s"COOKIE BANNER\n$goodBody three\nFOOTER"),
+    (4L, s"COOKIE BANNER\n$goodBody four\nFOOTER"),
+    (5L, s"COOKIE BANNER\n$goodBody five\nFOOTER"),
+    // exact dup of 1 (normalized: case-insensitive)
+    (6L, s"cookie banner\n$goodBody ONE\nfooter"),
+    // spam: a looping phrase — duplicate 5-grams dominate (checked first)
+    (7L, "buy now " * 40 + "only today"),
+    // too short after boilerplate removal
+    (8L, "COOKIE BANNER\ntiny doc\nFOOTER"),
+    // PII to redact, body long + varied enough to survive the filters
+    (9L, s"COOKIE BANNER\nwrite to us at help@example.com or call " +
+      s"+1 555-123-4567 about $goodBody\nFOOTER"),
+    // a dominant bigram but NO repeated 5-gram (the bigram rule's own case)
+    (10L, "x y x y x y a b c d e f"))
+    .toDF("doc_id", "text")
+
+  private val args = CorpusPipeline.Args(
+    input = "unused", out = "unused",
+    lineDupDocs = 5, minTokens = 10,
+    maxDup5gram = 0.3, maxTopBigram = 0.2, minQuality = 0.2)
+
+  test("annotate assigns the documented first-match drop reasons") {
+    val ann = CorpusPipeline.annotate(corpus(), args)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ann(6L) == "exact_dup")
+    assert(ann(7L) == "repetitive_5gram")
+    assert(ann(8L) == "too_short")
+    assert(ann(10L) == "repetitive_bigram")
+    assert(ann(1L) == null && ann(9L) == null)
+  }
+
+  test("boilerplate lines vanish and PII is redacted in the kept text") {
+    val out = CorpusPipeline.annotate(corpus(), args)
+      .filter(col("drop_reason").isNull)
+      .select("doc_id", "text_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out(1L).contains("COOKIE") && !out(1L).contains("FOOTER"))
+    assert(out(9L).contains("<EMAIL>") && out(9L).contains("<PHONE>"))
+    assert(!out(9L).contains("help@example.com"))
+  }
+
+  test("run writes the filtered parquet and a consistent JSON report") {
+    val in = tmpDir("corpus_in") + "/docs.parquet"
+    val out = tmpDir("corpus_out") + "/filtered.parquet"
+    corpus().write.mode("overwrite").parquet(in)
+    val report = CorpusPipeline.run(spark, args.copy(input = in, out = out))
+    assert(report.contains("\"docs_in\":10"))
+    assert(report.contains("\"exact_dup\":1"))
+    assert(report.contains("\"too_short\":1"))
+    assert(report.contains("\"repetitive_5gram\":1"))
+    assert(report.contains("\"repetitive_bigram\":1"))
+    val kept = spark.read.parquet(out)
+    assert(kept.columns.toSet == Set("doc_id", "text", "n_tokens", "quality"))
+    // docs_kept in the report equals rows written
+    val keptN = kept.count()
+    assert(report.contains(s""""docs_kept":$keptN"""))
+    assert(keptN == 6)
+  }
+
+  test("arg parser: defaults, overrides, and fail-fast on typos") {
+    val a = CorpusPipeline.parseArgs(Seq(
+      "--input", "i.parquet", "--out", "o.parquet",
+      "--min-tokens", "5", "--no-redact-pii"))
+    assert(a.minTokens == 5 && !a.redactPii && a.idCol == "doc_id")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.parseArgs(Seq("--input", "i", "--out", "o", "--min-toknes", "5"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.parseArgs(Seq("--input", "i"))
+    }
+  }
+}

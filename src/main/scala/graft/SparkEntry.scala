@@ -653,6 +653,27 @@ object SparkEntry {
       QualityFilters.dedupLines(docs, "doc_id", "text", minDupDocs = 2)
         .orderBy("doc_id")
     }),
+    "q_corpus_filter" -> ((s, dir) => {
+      // the corpus-curation pipeline end-to-end (CorpusPipeline.annotate):
+      // wrap docs in shared boilerplate, plant exact duplicates (+10000 id
+      // echoes of the first 40 docs), then adjudicate every document's
+      // drop_reason. minQuality = 0 disables the one engine-specific rule
+      // (composite quality score) so EVERY remaining rule — exact-dup
+      // keeper, boilerplate vanish, length floor, repetition caps — is
+      // recomputed independently by the DuckDB twin.
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Cookie Notice: accept all cookies\n"), col("text"),
+          lit("\nCopyright "), col("source"),
+          lit(" all rights reserved")).as("text"))
+      val dups = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      CorpusPipeline.annotate(base.union(dups), CorpusPipeline.Args(
+        input = "", out = "", lineDupDocs = 5, minTokens = 10,
+        maxDup5gram = 0.3, maxTopBigram = 0.2, minQuality = 0.0))
+        .select(col("doc_id"),
+          coalesce(col("drop_reason"), lit("kept")).as("drop_reason"))
+        .orderBy("doc_id")
+    }),
     "q_unigram_surprisal" -> ((s, dir) => {
       // model-based quality score (CCNet-style): mean unigram surprisal of
       // each document under the corpus's own token distribution — the
@@ -1075,6 +1096,73 @@ object SparkEntry {
          |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_clean
          |  FROM kept GROUP BY 1) k ON d2.doc_id = k.doc_id
          |ORDER BY d2.doc_id""".stripMargin
+    },
+    "q_corpus_filter" -> {
+      val normT = normSql("t")
+      val normLn = normSql("ln")
+      val normTc = normSql("tc")
+      s"""WITH d2 AS (
+         |  SELECT doc_id,
+         |    'Cookie Notice: accept all cookies' || chr(10) || text || chr(10)
+         |      || 'Copyright ' || source || ' all rights reserved' AS t
+         |  FROM documents),
+         |alld AS (
+         |  SELECT doc_id, t FROM d2
+         |  UNION ALL SELECT doc_id + 10000, t FROM d2 WHERE doc_id < 40),
+         |keep AS (SELECT md5($normT) AS h, min(doc_id) AS keeper
+         |  FROM alld GROUP BY 1),
+         |marked AS (SELECT a.doc_id, a.t, k.keeper
+         |  FROM alld a JOIN keep k ON md5($normT) = k.h),
+         |surv AS (SELECT doc_id, t FROM marked WHERE doc_id = keeper),
+         |lines AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+         |    unnest(string_split(t, chr(10))) AS ln
+         |  FROM surv),
+         |hot AS (SELECT md5($normLn) AS lh FROM lines
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+         |keptl AS (SELECT doc_id, pos, ln FROM lines
+         |  WHERE md5($normLn) NOT IN (SELECT lh FROM hot)),
+         |clean AS (
+         |  SELECT s.doc_id, coalesce(x.tc, '') AS tc
+         |  FROM surv s LEFT JOIN (
+         |    SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS tc
+         |    FROM keptl GROUP BY 1) x ON s.doc_id = x.doc_id),
+         |tk AS (
+         |  SELECT doc_id, tc, CASE WHEN length($normTc) = 0 THEN []::VARCHAR[]
+         |    ELSE string_split($normTc, ' ') END AS toks
+         |  FROM clean),
+         |g AS (
+         |  SELECT doc_id, tc, toks,
+         |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i + 1]) END AS bi,
+         |    CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(toks) - 3),
+         |             i -> array_to_string(list_slice(toks, i, i + 4), ' ')) END AS g5
+         |  FROM tk),
+         |top AS (
+         |  SELECT doc_id, max(c) AS topn, sum(c) AS total FROM (
+         |    SELECT doc_id, gram, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(bi) AS gram FROM g) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |rep AS (
+         |  -- rounded to 6 like the engine's repetitionStats, so threshold
+         |  -- comparisons cannot straddle the 7th decimal
+         |  SELECT g.doc_id, tc, len(toks) AS n_tokens,
+         |    round(CASE WHEN len(g5) = 0 THEN 0.0
+         |      ELSE 1.0 - len(list_distinct(g5)) * 1.0 / len(g5) END, 6) AS dup5,
+         |    round(coalesce(topn * 1.0 / total, 0.0), 6) AS topb
+         |  FROM g LEFT JOIN top ON g.doc_id = top.doc_id)
+         |SELECT m.doc_id,
+         |  CASE WHEN m.doc_id <> m.keeper THEN 'exact_dup'
+         |    WHEN length(r.tc) = 0 THEN 'all_boilerplate'
+         |    WHEN r.n_tokens < 10 THEN 'too_short'
+         |    WHEN r.dup5 > 0.3 THEN 'repetitive_5gram'
+         |    WHEN r.topb > 0.2 THEN 'repetitive_bigram'
+         |    ELSE 'kept' END AS drop_reason
+         |FROM marked m LEFT JOIN rep r ON m.doc_id = r.doc_id
+         |ORDER BY m.doc_id""".stripMargin
     },
     "q_unigram_surprisal" -> {
       val norm = normSql("text")

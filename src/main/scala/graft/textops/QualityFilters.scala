@@ -95,7 +95,10 @@ object QualityFilters {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRe = "\\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -]?[0-9]{0,4}\\b"
+  // the optional 4th group requires its separator AND a digit together —
+  // a bare trailing `[ -]?` would swallow the space after the phone number
+  // and glue the redaction placeholder to the next word
+  val PhoneRe = "\\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}(?:[ -][0-9]{1,4})?\\b"
 
   /** Count of PII hits per kind. */
   def piiCounts(text: Column): (Column, Column, Column) = {
@@ -163,8 +166,11 @@ object QualityFilters {
     * same corpus (every token is in-vocab); tokens absent from the supplied
     * vocabulary fall back to a count of 1 (add-one on the unseen mass).
     *
-    * The vocabulary side is row-scale (distinct tokens) and broadcastable;
-    * the total-token normalizer rides a 1-row broadcast cross join, not a
+    * The vocabulary side is row-scale (distinct tokens); the join strategy
+    * is left to AQE — small vocabularies broadcast at runtime, but a
+    * 100 TB corpus's billion-token vocabulary must be allowed to
+    * shuffle-join (a forced broadcast hint would OOM the executors). The
+    * total-token normalizer rides a 1-row broadcast cross join, not a
     * driver collect.
     */
   def unigramSurprisal(
@@ -176,7 +182,7 @@ object QualityFilters {
     val toks = docs.select(col(idCol).as("__id"),
       explode(tokenArray(col(textCol))).as("token"))
     toks
-      .join(broadcast(vocab.select(col("token"), col("n_occurrences"))),
+      .join(vocab.select(col("token"), col("n_occurrences")),
         Seq("token"), "left")
       .join(broadcast(total))
       .select(col("__id"),

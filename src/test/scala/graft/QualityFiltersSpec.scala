@@ -63,6 +63,8 @@ class QualityFiltersSpec extends SparkSpec {
     val red = r.getAs[String]("red")
     assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
     assert(!red.contains("example.org") && !red.contains("192.168.0.1"))
+    // the phone match must not swallow the following space
+    assert(red.contains("call <PHONE> now"))
   }
 
   test("PII redaction leaves clean text untouched") {

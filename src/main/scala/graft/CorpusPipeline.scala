@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.textops.{Dedup, QualityFilters, TextStats}
+import graft.textops.{Dedup, QualityFilters, SpanDedup, TextStats}
 
 /** spark-submit entry point for the training-data curation pipeline over a
   * documents table: exact dedup → corpus-level boilerplate line removal →
@@ -16,7 +16,10 @@ import graft.textops.{Dedup, QualityFilters, TextStats}
   *   [--id doc_id] [--text text] \
   *   [--line-dup-docs 5]      boilerplate = line in >= N distinct docs \
   *   [--min-tokens 10] [--max-dup-5gram 0.3] [--max-top-bigram 0.2] \
-  *   [--min-quality 0.25] [--no-redact-pii]
+  *   [--min-quality 0.25] [--no-redact-pii] \
+  *   [--max-dup-span-frac 0.5]  drop docs whose duplicated-SPAN coverage \
+  *   [--span-dedup-k 8]         (SpanDedup, corpus-wide k-token windows) \
+  *                              exceeds the cap; 1.0 (default) = stage off
   * }}}
   *
   * Scale shape: ONE document-scale pass materializes every signal column
@@ -45,10 +48,13 @@ object CorpusPipeline {
       maxDup5gram: Double = 0.3,
       maxTopBigram: Double = 0.2,
       minQuality: Double = 0.25,
-      redactPii: Boolean = true)
+      redactPii: Boolean = true,
+      maxDupSpanFrac: Double = 1.0,
+      spanK: Int = 8)
 
   private val knownFlags = Set("input", "out", "id", "text", "line-dup-docs",
-    "min-tokens", "max-dup-5gram", "max-top-bigram", "min-quality")
+    "min-tokens", "max-dup-5gram", "max-top-bigram", "min-quality",
+    "max-dup-span-frac", "span-dedup-k")
 
   def parseArgs(argv: Seq[String]): Args = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -77,14 +83,16 @@ object CorpusPipeline {
       maxDup5gram = m.get("max-dup-5gram").map(_.toDouble).getOrElse(0.3),
       maxTopBigram = m.get("max-top-bigram").map(_.toDouble).getOrElse(0.2),
       minQuality = m.get("min-quality").map(_.toDouble).getOrElse(0.25),
-      redactPii = redact)
+      redactPii = redact,
+      maxDupSpanFrac = m.get("max-dup-span-frac").map(_.toDouble).getOrElse(1.0),
+      spanK = m.get("span-dedup-k").map(_.toInt).getOrElse(8))
   }
 
   /** Annotates every input document with its signal columns and a
     * `drop_reason` (null = kept; first matching rule wins, in pipeline
     * order: exact_dup → all_boilerplate → too_short → repetitive_5gram →
-    * repetitive_bigram → low_quality). Exposed separately so tests and
-    * notebooks can audit the decision per document.
+    * repetitive_bigram → duplicated_spans → low_quality). Exposed separately
+    * so tests and notebooks can audit the decision per document.
     */
   def annotate(docs: DataFrame, a: Args): DataFrame = {
     val id = col(a.idCol)
@@ -102,10 +110,30 @@ object CorpusPipeline {
       .select(id, col(a.textCol))
     val cleaned = QualityFilters.dedupLines(
       survivors, a.idCol, a.textCol, minDupDocs = a.lineDupDocs)
-    val signals = QualityFilters
+    val baseSignals = QualityFilters
       .repetitionStats(cleaned, a.idCol, "text_clean")
       .join(cleaned, a.idCol)
       .withColumn("quality", TextStats.qualityScore(col("text_clean")))
+    // duplicated-SPAN coverage (substring-granular, corpus-wide — SpanDedup):
+    // the MassiveText-style "mostly duplicate content" rule. Off by default
+    // and skipped entirely when off — the positional explode + hash shuffle
+    // is the pipeline's one token-scale (vs row-scale) stage, so it must not
+    // run for pipelines that didn't ask for it.
+    val signals =
+      if (a.maxDupSpanFrac >= 1.0)
+        baseSignals.withColumn("dup_span_frac", lit(0.0))
+      else {
+        val spanTokens = SpanDedup
+          .duplicatedSpans(cleaned, a.idCol, "text_clean", k = a.spanK)
+          .withColumnRenamed("doc_id", a.idCol)
+          .groupBy(a.idCol)
+          .agg(sum(col("span_len")).as("__dup_span_tokens"))
+        baseSignals.join(spanTokens, Seq(a.idCol), "left")
+          .withColumn("dup_span_frac",
+            round(coalesce(col("__dup_span_tokens"), lit(0L)).cast("double") /
+              greatest(col("n_tokens"), lit(1)), 6))
+          .drop("__dup_span_tokens")
+      }
     val losers = withKeeper.filter(id =!= col("__keeper"))
       .select(id, col("__keeper").as("exact_dup_of"))
     val reason = when(col("exact_dup_of").isNotNull, "exact_dup")
@@ -113,6 +141,7 @@ object CorpusPipeline {
       .when(col("n_tokens") < a.minTokens, "too_short")
       .when(col("dup_5gram_frac") > a.maxDup5gram, "repetitive_5gram")
       .when(col("top_bigram_frac") > a.maxTopBigram, "repetitive_bigram")
+      .when(col("dup_span_frac") > a.maxDupSpanFrac, "duplicated_spans")
       .when(col("quality") < a.minQuality, "low_quality")
     signals
       .join(losers, Seq(a.idCol), "full_outer")
@@ -145,7 +174,8 @@ object CorpusPipeline {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val total = byReason.values.sum
       val reasons = Seq("exact_dup", "all_boilerplate", "too_short",
-        "repetitive_5gram", "repetitive_bigram", "low_quality")
+        "repetitive_5gram", "repetitive_bigram", "duplicated_spans",
+        "low_quality")
       val reasonJson = reasons
         .map(r => s""""$r":${byReason.getOrElse(r, 0L)}""").mkString("{", ",", "}")
       val sec = (System.nanoTime() - t0) / 1e9

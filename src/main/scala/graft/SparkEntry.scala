@@ -92,6 +92,41 @@ object SparkEntry {
   private def normSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** DuckDB twin of SpanDedup.positionalShingles: CTEs `docs` (normalized
+    * token arrays), `p` (doc_id, 0-based pos, raw k-token window string —
+    * the oracle groups by the STRING where the engine groups by its xxhash64,
+    * so an engine-side hash collision would fail the gate, not pass it).
+    */
+  private def spanPosSql(k: Int): String = {
+    val norm = normSql("text")
+    s"""docs AS (
+       |  SELECT doc_id, list_filter(string_split($norm, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |shl AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - $k + 1),
+       |    i -> {'pos': i - 1, 's': array_to_string(toks[i:i + $k - 1], chr(1))})) AS u
+       |  FROM docs WHERE len(toks) >= $k),
+       |p AS (SELECT doc_id, u.pos AS pos, u.s AS s FROM shl)""".stripMargin
+  }
+
+  /** DuckDB twin of SpanDedup.mergeSpans (gaps-and-islands over a running-max
+    * window): CTE `spans` (doc_id, span_start, span_end) from `src`'s
+    * (doc_id, pos) hit windows.
+    */
+  private def spanMergeSql(src: String, k: Int): String =
+    s"""m1 AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + $k - 1) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS ng
+       |  FROM $src),
+       |m2 AS (SELECT doc_id, pos,
+       |    sum(ng) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM m1),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + $k - 1 AS span_end
+       |  FROM m2 GROUP BY doc_id, isl)""".stripMargin
+
   /** language-ID score SQL via the length-difference occurrence trick. */
   private def langScoreSql(t: String, lang: String): String =
     TextStats.stopwordMarkers(lang)
@@ -682,6 +717,39 @@ object SparkEntry {
       val vocab = TextStats.tokenFrequencies(docs, "doc_id", "text")
       QualityFilters.unigramSurprisal(docs, "doc_id", "text", vocab)
         .orderBy("doc_id")
+    }),
+    "q_corpus_mix" -> ((s, dir) => {
+      // deterministic data-mixture sampling: per-lang rates via the portable
+      // md5 rule; zh = 1.0 exercises the keep-all fast path, missing strata
+      // would be dropped by contract
+      Sampling.weightedMix(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.125, "zh" -> 1.0))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+    "q_span_dedup" -> ((s, dir) => {
+      // substring-granular dedup (Lee et al. 2021): maximal merged spans of
+      // 8-token windows occurring >= 2 times anywhere in the corpus
+      SpanDedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, minCount = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+    "q_span_contamination" -> ((s, dir) => {
+      // WHERE in each training page benchmark text appears — span-granular
+      // decontamination; bench = copies of every 5th doc (q_contamination's
+      // construction), target = the full corpus with original ids
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      SpanDedup.contaminatedSpans(d, bench, "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+    "q_span_removal" -> ((s, dir) => {
+      // keep-one policy: the globally first occurrence (min (doc_id, pos))
+      // of each duplicated window survives, all later ones are stripped
+      SpanDedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, minCount = 2)
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1176,5 +1244,56 @@ object SparkEntry {
          |  round(avg(-ln(n * 1.0 / total)), 6) AS mean_surprisal
          |FROM tk JOIN vocab USING (token) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    })
+    },
+    "q_corpus_mix" -> {
+      // threshold built by the SAME formula as Sampling.rateKeep so the twin
+      // cannot drift from the engine
+      def th(r: Double) = f"${math.floor(4294967296.0 * r).toLong}%08x"
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE CASE lang
+         |  WHEN 'zh' THEN TRUE
+         |  WHEN 'en' THEN substring(md5(cast(doc_id AS varchar)), 1, 8) < '${th(0.9)}'
+         |  WHEN 'de' THEN substring(md5(cast(doc_id AS varchar)), 1, 8) < '${th(0.5)}'
+         |  WHEN 'fr' THEN substring(md5(cast(doc_id AS varchar)), 1, 8) < '${th(0.25)}'
+         |  WHEN 'es' THEN substring(md5(cast(doc_id AS varchar)), 1, 8) < '${th(0.125)}'
+         |  ELSE FALSE END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_span_dedup" ->
+      s"""WITH ${spanPosSql(8)},
+         |dup AS (SELECT s FROM p GROUP BY s HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM p WHERE s IN (SELECT s FROM dup)),
+         |${spanMergeSql("hits", 8)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_len
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "q_span_contamination" ->
+      s"""WITH ${spanPosSql(8)},
+         |bsh AS (SELECT DISTINCT s FROM p WHERE doc_id % 5 = 0),
+         |hits AS (SELECT doc_id, pos FROM p WHERE s IN (SELECT s FROM bsh)),
+         |${spanMergeSql("hits", 8)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_len
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "q_span_removal" ->
+      s"""WITH ${spanPosSql(8)},
+         |r AS (SELECT doc_id, pos,
+         |   count(*) OVER (PARTITION BY s) AS n,
+         |   row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+         |  FROM p),
+         |rem AS (SELECT doc_id, pos FROM r WHERE n >= 2 AND rn > 1),
+         |${spanMergeSql("rem", 8)},
+         |cov AS (SELECT doc_id,
+         |    unnest(generate_series(span_start, span_end)) AS cpos FROM spans),
+         |tp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |    i -> {'i': i - 1, 't': toks[i]})) AS u FROM docs),
+         |tpos AS (SELECT doc_id, u.i AS i, u.t AS t FROM tp),
+         |kept AS (SELECT tpos.doc_id, i, t FROM tpos
+         |  ANTI JOIN cov ON tpos.doc_id = cov.doc_id AND tpos.i = cov.cpos),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(t, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, len(d.toks) AS n_tokens, coalesce(a.n_kept, 0) AS n_kept,
+         |  len(d.toks) - coalesce(a.n_kept, 0) AS n_removed,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin)
 }

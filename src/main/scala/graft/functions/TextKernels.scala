@@ -72,6 +72,35 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  private val SpanSep = UTF8String.fromString("\u0001")
+
+  /** 64-bit hash of every k-token window, one pass: element `i` is
+    * `xxhash64(concat_ws("\u0001", toks[i..i+k-1]))` with Spark's default
+    * seed 42 — bit-identical to the HOF form
+    * `transform(sequence(0, len-k), i -> xxhash64(concat_ws(...slice...)))`
+    * (parity-tested), but evaluated inside whole-stage codegen instead of an
+    * interpreted per-window lambda that re-slices the array. An array
+    * shorter than k yields an EMPTY result: positional span semantics — no
+    * whole-array fallback, unlike [[shingles]].
+    */
+  def windowHashes(toks: ArrayData, k: Int): ArrayData = {
+    val sz = toks.numElements()
+    if (sz < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](sz - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < out.length) {
+      var j = 0
+      while (j < k) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = XXH64.hashUTF8String(UTF8String.concatWs(SpanSep, parts: _*), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val Amp = UTF8String.fromString("&")
   private val Comma = UTF8String.fromString(",")
   /** Query parameters dropped by [[canonQuery]]: pure click-tracking

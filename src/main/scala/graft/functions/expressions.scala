@@ -171,6 +171,27 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Per-position k-token window hashes — see [[TextKernels.windowHashes]].
+  * `posexplode` of this column is the span-dedup positional stream: the
+  * element index IS the window's start position.
+  */
+case class WindowHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.windowHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.windowHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "window_hashes"
+}
+
 /** Canonical query string — see [[TextKernels.canonQuery]]. */
 case class CanonQuery(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -269,6 +290,8 @@ object GraftFunctions {
     col(MinHashSig(expressionOf(shingles.cast("array<string>")), numHashes))
   def simhash64(toks: Column): Column =
     col(SimHash64(expressionOf(toks.cast("array<string>"))))
+  def windowHashes(toks: Column, k: Int): Column =
+    col(WindowHashes(expressionOf(toks.cast("array<string>")), k))
   def canonQuery(query: Column): Column = col(CanonQuery(expr(query)))
   def reverseLabels(host: Column): Column = col(ReverseLabels(expr(host)))
 
@@ -307,6 +330,9 @@ object GraftFunctions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", {
       case Seq(sh, k) => MinHashSig(sh, k.eval().toString.toInt)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("window_hashes", {
+      case Seq(toks, k) => WindowHashes(toks, k.eval().toString.toInt)
     }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", {
       case Seq(toks) => SimHash64(toks)

@@ -52,4 +52,43 @@ object Sampling {
   def splitCol(idCol: Column, trainFraction: Double, salt: String = ""): Column =
     when(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 2)
       < hexThreshold(trainFraction), "train").otherwise("val")
+
+  /** Per-stratum keep predicate at 32-bit granularity: the first 8 hex chars
+    * of md5(id || salt) compared lexicographically against
+    * floor(2^32 * rate) as 8 lowercase hex digits (hex-string order == the
+    * numeric order, and the comparison is engine-portable). rate >= 1 keeps
+    * everything, rate <= 0 drops everything (no 9-digit threshold string
+    * whose length would break lexicographic comparison).
+    */
+  def rateKeep(idCol: Column, rate: Double, salt: String = ""): Column =
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8) <
+      f"${math.floor(4294967296.0 * rate).toLong}%08x"
+
+  /** Deterministic data-mixture sampling: keep each row with its stratum's
+    * rate (e.g. up-weight curated sources, down-weight raw crawl — the
+    * training-data "mixing" step). Rows whose stratum value has no entry in
+    * `rates` are DROPPED — a mixture definition is exhaustive by contract,
+    * and silently keeping unlisted strata would leak unvetted sources into
+    * a training set.
+    *
+    * Scale shape: a pure codegen filter projection (when-chain over the
+    * handful of strata) — no shuffle, no join, fully pushdown-friendly;
+    * assignment is a pure function of (id, salt), so re-runs, retries, and
+    * engine ports agree row-for-row.
+    */
+  def weightedMix(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, rateKeep(col(idCol), rate, salt))
+          .otherwise(acc)
+    }
+    df.filter(keep)
+  }
 }

@@ -81,11 +81,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(keptN == 6)
   }
 
+  test("duplicated-span coverage rule drops mostly-duplicate docs when enabled") {
+    val rows = CorpusPipeline.annotate(corpus(), args.copy(maxDupSpanFrac = 0.5))
+      .select("doc_id", "drop_reason", "dup_span_frac").collect()
+    val reason = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val frac = rows.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // docs 1-5 share the long body: each is now mostly duplicated spans
+    assert(reason(1L) == "duplicated_spans" && frac(1L) > 0.5)
+    assert(reason(2L) == "duplicated_spans")
+    // first-match still wins for earlier rules
+    assert(reason(6L) == "exact_dup")
+    assert(reason(7L) == "repetitive_5gram")
+    assert(reason(8L) == "too_short")
+    // no duplicated 8-token window in doc 10 (bigram spam is shorter-range)
+    assert(frac(10L) == 0.0)
+    // default cap (1.0) disables the stage: the frac column is identically 0
+    val off = CorpusPipeline.annotate(corpus(), args)
+      .agg(max(col("dup_span_frac"))).collect()(0).getDouble(0)
+    assert(off == 0.0)
+  }
+
   test("arg parser: defaults, overrides, and fail-fast on typos") {
     val a = CorpusPipeline.parseArgs(Seq(
       "--input", "i.parquet", "--out", "o.parquet",
-      "--min-tokens", "5", "--no-redact-pii"))
+      "--min-tokens", "5", "--no-redact-pii",
+      "--max-dup-span-frac", "0.4", "--span-dedup-k", "6"))
     assert(a.minTokens == 5 && !a.redactPii && a.idCol == "doc_id")
+    assert(a.maxDupSpanFrac == 0.4 && a.spanK == 6)
     intercept[IllegalArgumentException] {
       CorpusPipeline.parseArgs(Seq("--input", "i", "--out", "o", "--min-toknes", "5"))
     }

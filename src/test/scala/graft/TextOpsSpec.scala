@@ -330,6 +330,31 @@ class TextOpsSpec extends SparkSpec {
     assert(salted != a1)
   }
 
+  test("weightedMix: per-stratum rates, unlisted strata dropped, monotone in rate") {
+    val df = spark.range(3000).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("stratum"))
+    val in = df.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.weightedMix(df, "doc_id", "stratum",
+      Map("s0" -> 1.0, "s1" -> 0.5))
+    val byS = out.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("s0") == in("s0"))               // rate 1.0 keeps everything
+    assert(!byS.contains("s2"))                 // unlisted stratum -> dropped
+    assert(math.abs(byS("s1").toDouble / in("s1") - 0.5) < 0.06, byS.toString)
+    // deterministic and layout-independent
+    val ids1 = out.collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.weightedMix(df.repartition(7), "doc_id", "stratum",
+      Map("s0" -> 1.0, "s1" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // monotone: the rate-0.25 sample is a subset of the rate-0.5 sample
+    val q = Sampling.weightedMix(df, "doc_id", "stratum", Map("s1" -> 0.25))
+      .collect().map(_.getLong(0)).toSet
+    val h = Sampling.weightedMix(df, "doc_id", "stratum", Map("s1" -> 0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(q.subsetOf(h) && q.nonEmpty && q.size < h.size)
+  }
+
   test("contamination: a planted benchmark copy surfaces its training source") {
     val train = docs.limit(40).select(col("doc_id"), col("text"))
     val bench = train.filter($"doc_id" % 4 === 0)

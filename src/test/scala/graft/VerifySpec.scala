@@ -16,7 +16,7 @@ class VerifySpec extends SparkSpec {
   }
 
   test("canonical row string separates fields: (ab,c) and (a,bc) hash differently") {
-    // without the  separator the concatenated canonical strings are
+    // without the \u0001 separator the concatenated canonical strings are
     // identical ("abc") and a transposition-style engine bug could slip
     // past the recorded content hash
     val (n1, _, h1) = fpOf(Seq(("ab", "c")))

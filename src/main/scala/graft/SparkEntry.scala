@@ -750,9 +750,40 @@ object SparkEntry {
       SpanDedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
           k = 8, minCount = 2)
         .orderBy("doc_id")
+    }),
+    "q_contamination_bloom" -> ((s, dir) => {
+      // Bloom-gated twin of q_contamination: same inputs, same output by
+      // contract (shares q_contamination's oracle SQL — the hash match IS
+      // the exact-equality proof), train-side shuffle cut by the codegen
+      // bloom_might_contain pre-filter
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.contaminationPairsBloom(bench, d, "doc_id", "text",
+          shingleSize = 3, minShared = 5, maxShingleDf = 1000)
+        .orderBy("bench_id", "train_id")
+    }),
+    "q_span_contamination_bloom" -> ((s, dir) => {
+      // Bloom-gated twin of q_span_contamination (same oracle SQL): the
+      // token-scale positional stream is pruned by the bloom filter before
+      // the exact semi-join adjudicates survivors
+      val d = t(s, dir, "documents")
+      val bench = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      SpanDedup.contaminatedSpansBloom(d, bench, "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  /** The Bloom-gated operators are output-identical twins of their exact
+    * forms (no false negatives; false positives die in the exact join), so
+    * they share the exact form's oracle SQL verbatim — a hash-matched gate
+    * row proving the identity, not just a rows-only sanity check.
+    */
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "q_contamination_bloom" -> oracleSqlBase("q_contamination"),
+    "q_span_contamination_bloom" -> oracleSqlBase("q_span_contamination"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty

@@ -192,6 +192,42 @@ case class WindowHashes(child: Expression, k: Int)
   override def prettyName: String = "window_hashes"
 }
 
+/** Membership probe of a broadcast [[org.apache.spark.util.sketch.BloomFilter]]
+  * (built by [[BloomFilters]]) — codegen'd, so a Bloom PRE-filter ahead of an
+  * exact equi/semi-join stays inside the scan's WholeStageCodegen span
+  * instead of breaking it with a UDF. The filter object rides the codegen
+  * references array (`addReferenceObj`), never the generated source.
+  * String children probe their UTF-8 bytes, long children `mightContainLong`
+  * — exactly the put forms [[BloomFilters]] uses, so no false negatives by
+  * construction. Callers cast the child to string/long (same contract as the
+  * other GraftFunctions wrappers).
+  */
+case class BloomMightContain(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override protected def nullSafeEval(input: Any): Any = input match {
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      bloom.value.mightContainBinary(s.getBytes)
+    case l: Long => bloom.value.mightContainLong(l)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    val bf = s"((org.apache.spark.util.sketch.BloomFilter)$ref.value())"
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        defineCodeGen(ctx, ev, c => s"$bf.mightContainBinary($c.getBytes())")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"$bf.mightContainLong($c)")
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** Canonical query string — see [[TextKernels.canonQuery]]. */
 case class CanonQuery(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -292,6 +328,14 @@ object GraftFunctions {
     col(SimHash64(expressionOf(toks.cast("array<string>"))))
   def windowHashes(toks: Column, k: Int): Column =
     col(WindowHashes(expressionOf(toks.cast("array<string>")), k))
+  /** Bloom membership probe; `c` must already be a string or long column
+    * matching the filter's put type ([[BloomFilters]]).
+    */
+  def bloomMightContain(
+      c: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      : Column =
+    col(BloomMightContain(expressionOf(c), bloom))
   def canonQuery(query: Column): Column = col(CanonQuery(expr(query)))
   def reverseLabels(host: Column): Column = col(ReverseLabels(expr(host)))
 

@@ -97,18 +97,66 @@ object Dedup {
       shingleSize: Int = 3,
       minShared: Long = 2,
       maxShingleDf: Long = 1000): DataFrame = {
-    def side(df: DataFrame, outId: String) = df.select(
-      col(idCol).as(outId),
-      explode(normalizedShingles(col(textCol), shingleSize)).as("__sh"))
     // Hot-shingle cap as ONE count() window (Blocking.capHotGroups), not an
     // aggregate + broadcast anti-join: the anti-join form evaluated the
     // train-side normalize->shingle->explode pipeline twice (hot list + capped
     // side), the exact shape that made the r2 minhash path 5x slower. The
     // window is a single shuffle of the exploded table whose (__sh)
     // partitioning the bench equi-join then reuses.
-    val tshCapped = Blocking.capHotGroups(side(train, "train_id"), Seq("__sh"), maxShingleDf)
-    side(bench, "bench_id")
+    val tshCapped = Blocking.capHotGroups(
+      shingleSide(train, idCol, textCol, shingleSize, "train_id"), Seq("__sh"), maxShingleDf)
+    shingleSide(bench, idCol, textCol, shingleSize, "bench_id")
       .join(tshCapped, "__sh")
+      .groupBy("bench_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** (outId, __sh) — one row per distinct normalized shingle per doc. */
+  private def shingleSide(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, outId: String): DataFrame = df.select(
+    col(idCol).as(outId),
+    explode(normalizedShingles(col(textCol), shingleSize)).as("__sh"))
+
+  /** [[contaminationPairs]] with a broadcast-Bloom gate on the train side —
+    * bit-identical OUTPUT (Bloom filters have no false negatives, and false
+    * positives die in the exact equi-join; the hot-shingle cap's count
+    * window partitions by `__sh`, so the Bloom keeps or drops each group
+    * atomically and per-group counts are unchanged). The scale win: the
+    * train side's token-scale exploded stream is cut to ~(hit + fpp)
+    * selectivity BEFORE its one shuffle, by a codegen filter riding the
+    * scan. Use when the benchmark shingle set is too big to broadcast
+    * exactly but fits as ~1.2 bytes/shingle at fpp=0.01 — the regime
+    * between [[contaminationPairs]] (shuffle both sides) and a plain
+    * broadcast join (bench side fits exactly).
+    *
+    * `expectedShingles` sizes the filter; when unset, one
+    * `approx_count_distinct` pass over the bench side (the small side by
+    * contract) estimates it with 2x headroom — an underestimate only
+    * raises the realized fpp, never costs correctness.
+    */
+  def contaminationPairsBloom(
+      bench: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      minShared: Long = 2,
+      maxShingleDf: Long = 1000,
+      fpp: Double = 0.01,
+      expectedShingles: Long = -1L): DataFrame = {
+    val bsh = shingleSide(bench, idCol, textCol, shingleSize, "bench_id")
+    val n =
+      if (expectedShingles > 0) expectedShingles
+      else math.max(1000L,
+        bsh.agg(approx_count_distinct(col("__sh"))).head().getLong(0) * 2)
+    val bloom = graft.functions.BloomFilters.stringBloom(bsh, "__sh", n, fpp)
+    val tshCapped = Blocking.capHotGroups(
+      shingleSide(train, idCol, textCol, shingleSize, "train_id")
+        .filter(graft.functions.GraftFunctions.bloomMightContain(col("__sh"), bloom)),
+      Seq("__sh"), maxShingleDf)
+    bsh.join(tshCapped, "__sh")
       .groupBy("bench_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

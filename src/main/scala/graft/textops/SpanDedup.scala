@@ -151,6 +151,40 @@ object SpanDedup {
       .select("doc_id", "pos"), k)
   }
 
+  /** [[contaminatedSpans]] with a broadcast-Bloom gate on the target side —
+    * bit-identical OUTPUT: the Bloom (no false negatives) prunes the
+    * token-scale positional stream to ~(hit + fpp) selectivity with a
+    * codegen filter riding the scan, and the exact semi-join then
+    * adjudicates the survivors (false positives die there — the Bloom is
+    * never the final membership test, since spans have no downstream
+    * verify stage). The regime between the default shuffle semi-join and
+    * `broadcastCorpus = true`: the benchmark window-hash set is too big to
+    * broadcast exactly but fits as ~1.2 bytes/window at fpp=0.01 — and the
+    * semi-join's input is no longer the full target stream but its
+    * Bloom-surviving sliver, so the remaining shuffle is near-free.
+    */
+  def contaminatedSpansBloom(
+      target: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      fpp: Double = 0.01,
+      expectedWindows: Long = -1L): DataFrame = {
+    val tsh = positionalShingles(target, idCol, textCol, k)
+    val csh = positionalShingles(corpus, idCol, textCol, k)
+      .select("sh_hash").distinct()
+    val n =
+      if (expectedWindows > 0) expectedWindows
+      else math.max(1000L,
+        csh.agg(approx_count_distinct(col("sh_hash"))).head().getLong(0) * 2)
+    val bloom = graft.functions.BloomFilters.longBloom(csh, "sh_hash", n, fpp)
+    mergeSpans(
+      tsh.filter(graft.functions.GraftFunctions.bloomMightContain(col("sh_hash"), bloom))
+        .join(csh, Seq("sh_hash"), "left_semi")
+        .select("doc_id", "pos"), k)
+  }
+
   /** Keep-one span removal (Lee et al.'s policy): for every duplicated
     * k-token window, the globally first occurrence (min (doc_id, pos)) stays;
     * all later occurrences are marked, merged into maximal removal spans per

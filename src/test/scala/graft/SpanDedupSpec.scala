@@ -101,6 +101,19 @@ class SpanDedupSpec extends SparkSpec {
     assert(ca.collect().toSet == cb.collect().toSet)
   }
 
+  test("bloom-gated contaminatedSpans is value-identical; bloom filter in the plan") {
+    val corpus = graft.sources.WebCorpus
+      .pages(spark, graft.sources.WebCorpus.Params(nBase = 60, dupFraction = 0.3, nHosts = 5))
+      .select(col("page_id").as("doc_id"), col("text"))
+    val bench = corpus.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val exact = SpanDedup.contaminatedSpans(corpus, bench, "doc_id", "text", k = K)
+    val bloomed = SpanDedup.contaminatedSpansBloom(corpus, bench, "doc_id", "text", k = K)
+    assert(exact.collect().toSet == bloomed.collect().toSet)
+    assert(exact.count() > 0)
+    assert(bloomed.queryExecution.executedPlan.toString.contains("bloom_might_contain"))
+  }
+
   test("span invariants hold on a WebCorpus-scale input") {
     val corpus = graft.sources.WebCorpus
       .pages(spark, graft.sources.WebCorpus.Params(nBase = 200, dupFraction = 0.4, nHosts = 8))

@@ -374,6 +374,37 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom filters: no false negatives for strings and longs; fpp holds; no-FN parity") {
+    import graft.functions.{BloomFilters, GraftFunctions}
+    val members = (0 until 1000).map(i => s"shingle token run $i")
+    val strDf = members.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val bloom = BloomFilters.stringBloom(strDf, "s", expectedItems = 1000)
+    // no false negatives: every inserted string must probe true
+    val fn = strDf.filter(!GraftFunctions.bloomMightContain($"s", bloom)).count()
+    assert(fn == 0)
+    // false-positive rate on 10k non-members stays near the configured 1%
+    val nonMembers = (0 until 10000).map(i => (i.toLong, s"absent value $i")).toDF("id", "s")
+    val fp = nonMembers.filter(GraftFunctions.bloomMightContain($"s", bloom)).count()
+    assert(fp < 500, s"false-positive count $fp way above the configured fpp")
+    // long variant
+    val longDf = (0L until 1000L).map(i => Tuple1(i * 7919L)).toDF("h")
+    val lbloom = BloomFilters.longBloom(longDf, "h", expectedItems = 1000)
+    assert(longDf.filter(!GraftFunctions.bloomMightContain($"h", lbloom)).count() == 0)
+  }
+
+  test("bloom-gated contamination == exact operator; bloom filter in the plan") {
+    val train = docs.limit(40).select(col("doc_id"), col("text"))
+    val bench = train.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    val exact = Dedup.contaminationPairs(bench, train, "doc_id", "text",
+      shingleSize = 3, minShared = 5, maxShingleDf = 100)
+    val bloomed = Dedup.contaminationPairsBloom(bench, train, "doc_id", "text",
+      shingleSize = 3, minShared = 5, maxShingleDf = 100)
+    assert(exact.collect().toSet == bloomed.collect().toSet)
+    assert(exact.count() > 0)
+    assert(bloomed.queryExecution.executedPlan.toString.contains("bloom_might_contain"))
+  }
+
   test("token frequencies match a hand count") {
     val df = Seq((1L, "the cat and the dog"), (2L, "THE cat!")).toDF("doc_id", "text")
     val got = TextStats.tokenFrequencies(df, "doc_id", "text").collect()

@@ -19,7 +19,10 @@ import graft.textops.{Dedup, QualityFilters, SpanDedup, TextStats}
   *   [--min-quality 0.25] [--no-redact-pii] \
   *   [--max-dup-span-frac 0.5]  drop docs whose duplicated-SPAN coverage \
   *   [--span-dedup-k 8]         (SpanDedup, corpus-wide k-token windows) \
-  *                              exceeds the cap; 1.0 (default) = stage off
+  *                              exceeds the cap; 1.0 (default) = stage off \
+  *   [--min-deflate-ratio 0.2]  drop docs whose deflate compressibility \
+  *                              falls below the floor (byte-level
+  *                              repetition); 0.0 (default) = rule off
   * }}}
   *
   * Scale shape: ONE document-scale pass materializes every signal column
@@ -50,11 +53,12 @@ object CorpusPipeline {
       minQuality: Double = 0.25,
       redactPii: Boolean = true,
       maxDupSpanFrac: Double = 1.0,
-      spanK: Int = 8)
+      spanK: Int = 8,
+      minDeflateRatio: Double = 0.0)
 
   private val knownFlags = Set("input", "out", "id", "text", "line-dup-docs",
     "min-tokens", "max-dup-5gram", "max-top-bigram", "min-quality",
-    "max-dup-span-frac", "span-dedup-k")
+    "max-dup-span-frac", "span-dedup-k", "min-deflate-ratio")
 
   def parseArgs(argv: Seq[String]): Args = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -85,14 +89,16 @@ object CorpusPipeline {
       minQuality = m.get("min-quality").map(_.toDouble).getOrElse(0.25),
       redactPii = redact,
       maxDupSpanFrac = m.get("max-dup-span-frac").map(_.toDouble).getOrElse(1.0),
-      spanK = m.get("span-dedup-k").map(_.toInt).getOrElse(8))
+      spanK = m.get("span-dedup-k").map(_.toInt).getOrElse(8),
+      minDeflateRatio = m.get("min-deflate-ratio").map(_.toDouble).getOrElse(0.0))
   }
 
   /** Annotates every input document with its signal columns and a
     * `drop_reason` (null = kept; first matching rule wins, in pipeline
     * order: exact_dup → all_boilerplate → too_short → repetitive_5gram →
-    * repetitive_bigram → duplicated_spans → low_quality). Exposed separately
-    * so tests and notebooks can audit the decision per document.
+    * repetitive_bigram → duplicated_spans → repetitive_compress →
+    * low_quality). Exposed separately so tests and notebooks can audit the
+    * decision per document.
     */
   def annotate(docs: DataFrame, a: Args): DataFrame = {
     val id = col(a.idCol)
@@ -114,6 +120,11 @@ object CorpusPipeline {
       .repetitionStats(cleaned, a.idCol, "text_clean")
       .join(cleaned, a.idCol)
       .withColumn("quality", TextStats.qualityScore(col("text_clean")))
+      // byte-level repetition (deflate compressibility): a pure codegen
+      // projection riding the same pass — always annotated, gated by
+      // minDeflateRatio only at the drop-rule stage
+      .withColumn("deflate_ratio",
+        round(QualityFilters.compressionRatio(col("text_clean")), 6))
     // duplicated-SPAN coverage (substring-granular, corpus-wide — SpanDedup):
     // the MassiveText-style "mostly duplicate content" rule. Off by default
     // and skipped entirely when off — the positional explode + hash shuffle
@@ -142,6 +153,7 @@ object CorpusPipeline {
       .when(col("dup_5gram_frac") > a.maxDup5gram, "repetitive_5gram")
       .when(col("top_bigram_frac") > a.maxTopBigram, "repetitive_bigram")
       .when(col("dup_span_frac") > a.maxDupSpanFrac, "duplicated_spans")
+      .when(col("deflate_ratio") < a.minDeflateRatio, "repetitive_compress")
       .when(col("quality") < a.minQuality, "low_quality")
     signals
       .join(losers, Seq(a.idCol), "full_outer")
@@ -175,7 +187,7 @@ object CorpusPipeline {
       val total = byReason.values.sum
       val reasons = Seq("exact_dup", "all_boilerplate", "too_short",
         "repetitive_5gram", "repetitive_bigram", "duplicated_spans",
-        "low_quality")
+        "repetitive_compress", "low_quality")
       val reasonJson = reasons
         .map(r => s""""$r":${byReason.getOrElse(r, 0L)}""").mkString("{", ",", "}")
       val sec = (System.nanoTime() - t0) / 1e9

@@ -655,6 +655,22 @@ object SparkEntry {
       QualityFilters.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q_compressibility" -> ((s, dir) => {
+      // byte-level repetition via deflate compressibility (the MassiveText /
+      // RefinedWeb "compression ratio" signal): zero-shuffle codegen
+      // projection. Rows-only gate (DuckDB has no deflate); the value
+      // semantics are pinned by QualityFiltersSpec's band/ordering
+      // properties, and the repetitive tail surfaces deterministically by
+      // appending each doc's own first 50 chars 20x for doc_id % 7 == 0
+      val d = t(s, dir, "documents")
+      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), repeat(substring(col("text"), 1, 50), 20)))
+        .otherwise(col("text"))
+      d.select(col("doc_id"),
+          round(QualityFilters.compressionRatio(planted), 4).as("deflate_ratio"),
+          (pmod(col("doc_id"), lit(7)) === 0).as("planted_repetition"))
+        .orderBy("doc_id")
+    }),
     "q_pii_redact" -> ((s, dir) => {
       // PII detection + redaction: plant a deterministic email/IP/phone per
       // document (built from doc_id in BOTH engines), then count and redact.

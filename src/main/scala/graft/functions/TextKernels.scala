@@ -101,6 +101,41 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One reusable raw-deflate instance per executor thread: `Deflater`
+    * wraps native zlib state whose allocation dwarfs small-document
+    * compression; `reset()` between rows keeps the output identical to a
+    * fresh instance. Raw mode (`nowrap = true`) drops the 6-byte zlib
+    * header+checksum that would bias short documents' ratios upward.
+    */
+  private val deflaterTL = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
+  /** Deflate compression ratio of the UTF-8 bytes: compressed/raw size at
+    * zlib level 6 — the classic web-pipeline "compressibility" repetition
+    * signal (highly templated or repetitive pages compress far below
+    * natural prose, which sits around ~0.4–0.7; near-random text can
+    * exceed 1.0). Whole-document and encoding-level, so it catches
+    * repetition that token-level n-gram fractions miss (markup churn,
+    * repeated punctuation runs, byte-level boilerplate). Empty text → 1.0
+    * (no evidence of repetition). Deterministic for a given JDK's zlib at
+    * the pinned level; cross-engine portability is NOT claimed — tests pin
+    * ordering/band properties, not exact bytes.
+    */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = deflaterTL.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / raw.length
+  }
+
   private val Amp = UTF8String.fromString("&")
   private val Comma = UTF8String.fromString(",")
   /** Query parameters dropped by [[canonQuery]]: pure click-tracking

@@ -228,6 +228,22 @@ case class BloomMightContain(
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** Deflate compression ratio — see [[TextKernels.deflateRatio]]. */
+case class DeflateRatio(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.deflateRatio(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.deflateRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "deflate_ratio"
+}
+
 /** Canonical query string — see [[TextKernels.canonQuery]]. */
 case class CanonQuery(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -338,6 +354,7 @@ object GraftFunctions {
     col(BloomMightContain(expressionOf(c), bloom))
   def canonQuery(query: Column): Column = col(CanonQuery(expr(query)))
   def reverseLabels(host: Column): Column = col(ReverseLabels(expr(host)))
+  def deflateRatio(text: Column): Column = col(DeflateRatio(expr(text)))
 
   def jaroWinklerSim(a: Column, b: Column, p: Double = 0.1): Column =
     col(JaroWinklerSim(expr(a), expr(b), p))
@@ -386,6 +403,9 @@ object GraftFunctions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("reverse_labels", {
       case Seq(h) => ReverseLabels(h)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("deflate_ratio", {
+      case Seq(t) => DeflateRatio(t)
     }, "scala_udf")
   }
 }

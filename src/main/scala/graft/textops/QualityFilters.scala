@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilters {
 
+  /** Deflate compressibility of the raw text (compressed/raw UTF-8 bytes at
+    * zlib level 6) — the byte-level repetition signal quality pipelines use
+    * alongside token n-gram fractions: templated or repetitive pages
+    * compress far below natural prose (~0.4–0.7), so a LOW ratio marks
+    * repetition. Pure codegen projection
+    * ([[graft.functions.GraftFunctions.deflateRatio]]); empty text → 1.0.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.functions.GraftFunctions.deflateRatio(text)
+
   /** Normalized token array; empty text yields an EMPTY array (split would
     * yield `[""]`).
     */

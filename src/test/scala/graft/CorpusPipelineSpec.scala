@@ -101,13 +101,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(off == 0.0)
   }
 
+  test("deflate compressibility rule drops byte-repetitive docs when enabled") {
+    // doc 11: 60 DISTINCT tokens (so no repeated 5-gram, no dominant
+    // bigram, and the token-count floor passes) whose bytes are almost
+    // entirely "ab" repeats — repetition invisible to the token-level
+    // rules, caught by the byte-level deflate floor
+    val withByteSpam = corpus().union(Seq(
+      (11L, (0 until 60).map(i => "ab" * 15 + i).mkString(" ")))
+      .toDF("doc_id", "text"))
+    val on = CorpusPipeline.annotate(withByteSpam, args.copy(minDeflateRatio = 0.15))
+      .select("doc_id", "drop_reason", "deflate_ratio").collect()
+    val reason = on.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ratio = on.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(reason(11L) == "repetitive_compress" && ratio(11L) < 0.15)
+    // earlier rules still win first-match; clean docs survive
+    assert(reason(7L) == "repetitive_5gram")
+    assert(reason(1L) == null && ratio(1L) > 0.15)
+    // default (0.0) disables the rule but the signal column still rides
+    val off = CorpusPipeline.annotate(withByteSpam, args)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off(11L) == null)
+  }
+
   test("arg parser: defaults, overrides, and fail-fast on typos") {
     val a = CorpusPipeline.parseArgs(Seq(
       "--input", "i.parquet", "--out", "o.parquet",
       "--min-tokens", "5", "--no-redact-pii",
-      "--max-dup-span-frac", "0.4", "--span-dedup-k", "6"))
+      "--max-dup-span-frac", "0.4", "--span-dedup-k", "6",
+      "--min-deflate-ratio", "0.1"))
     assert(a.minTokens == 5 && !a.redactPii && a.idCol == "doc_id")
     assert(a.maxDupSpanFrac == 0.4 && a.spanK == 6)
+    assert(a.minDeflateRatio == 0.1)
     intercept[IllegalArgumentException] {
       CorpusPipeline.parseArgs(Seq("--input", "i", "--out", "o", "--min-toknes", "5"))
     }

@@ -138,6 +138,43 @@ class QualityFiltersSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_surprisal") - exp) < 1e-5)
   }
 
+  // ---- deflate compressibility ----
+
+  test("compression ratio: repetitive text compresses far below varied prose") {
+    val prose = "science and history give readers many reasons to keep " +
+      "learning about the wider world each day with fresh curiosity and joy"
+    val spam = "buy now " * 40
+    val rows = Seq((1L, prose), (2L, spam), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), QualityFilters.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(3L) == 1.0, "empty text must report 1.0 (no repetition evidence)")
+    assert(rows(2L) < 0.2, s"looped phrase should compress hard, got ${rows(2L)}")
+    assert(rows(1L) > rows(2L) + 0.2,
+      s"prose (${rows(1L)}) must sit clearly above spam (${rows(2L)})")
+    assert(rows(1L) > 0.3 && rows(1L) < 1.2,
+      s"prose ratio ${rows(1L)} outside the natural-text band")
+  }
+
+  test("compression ratio is deterministic across invocations and row order") {
+    val df = Seq((1L, "alpha beta gamma delta " * 3), (2L, "zz " * 50))
+      .toDF("doc_id", "text")
+    def vals(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), QualityFilters.compressionRatio(col("text")))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(vals(df) == vals(df.orderBy(desc("doc_id"))))
+  }
+
+  test("compression ratio decreases as repetition is appended") {
+    val base = "the quick brown fox jumps over a lazy dog near the river bank"
+    val grades = (0 to 3).map(k => (k.toLong, base + (" " + base) * (k * 4)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), QualityFilters.compressionRatio(col("text")).as("r"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(grades.sliding(2).forall { case Array(a, b) => b < a },
+      s"ratio must fall monotonically with added repetition: ${grades.mkString(", ")}")
+  }
+
   // ---- plan shape ----
 
   test("repetition stats plan is a pure projection: no exchange, no aggregate") {
@@ -146,5 +183,18 @@ class QualityFiltersSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
+  }
+
+  test("compression ratio plan is a pure projection (codegen, no exchange)") {
+    // spark.range (not a local Seq): a literal LocalTableScan would be
+    // constant-folded at plan time, hiding the expression from the plan
+    val docs = spark.range(4)
+      .select(concat(lit("a b c "), col("id").cast("string")).as("text"))
+    val df = docs.select(QualityFilters.compressionRatio(col("text")).as("r"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("deflate_ratio"), s"kernel missing from plan:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"must be a native expression, not a UDF:\n$plan")
   }
 }

@@ -652,10 +652,13 @@ class TextOpsSpec extends SparkSpec {
       """SELECT canon_query('b=2&utm_source=x&a=1') AS q,
         | reverse_labels('www.example.com') AS h,
         | round(jw_sim('MARTHA', 'MARHTA'), 4) AS jw,
-        | simhash64(array('a', 'b')) AS sh""".stripMargin).head()
+        | simhash64(array('a', 'b')) AS sh,
+        | deflate_ratio(repeat('spam ', 50)) AS dr,
+        | deflate_ratio('') AS dr_empty""".stripMargin).head()
     assert(r.getString(0) == "a=1&b=2")
     assert(r.getString(1) == "com,example,www")
     assert(r.getDouble(2) == 0.9611)
+    assert(r.getDouble(4) < 0.2 && r.getDouble(5) == 1.0)
     // value parity with the column API
     import spark.implicits._
     val viaCol = Seq(Tuple1(Seq("a", "b"))).toDF("t")

@@ -476,6 +476,19 @@ object SparkEntry {
       Dedup.simhashDupPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
         .orderBy("id_a", "id_b")
     }),
+    "q_cosine_join" -> ((s, dir) => {
+      // lossless prefix-filtered IDF-weighted cosine self-join (AllPairs /
+      // prefix-filtering): complete at the threshold by construction — the
+      // oracle recomputes EVERY qualifying pair brute-force in DuckDB, so a
+      // single missed candidate or wrong weight hash-mismatches the gate.
+      // Scoped to the en subset at a tight near-dup threshold: the synthetic
+      // corpus is small-vocabulary templated text, so a loose global join
+      // emits ~half of ALL pairs — data pathology, not operator shape
+      Similarity.prefixCosinePairs(
+          t(s, dir, "documents").filter(col("lang") === "en"),
+          "doc_id", "text", 0.95)
+        .orderBy("id_a", "id_b")
+    }),
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -1005,6 +1018,30 @@ object SparkEntry {
          |JOIN documents a ON a.doc_id = p.id_a
          |JOIN documents b ON b.doc_id = p.id_b
          |WHERE p.id_a < p.id_b AND p.hamming BETWEEN 0 AND 10
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "q_cosine_join" -> {
+      // brute-force twin of the prefix-filtered join: identical token,
+      // weight (ln(N/df), df<N), and unit-norm definitions; every pair
+      // sharing a weighted token is scored, so ANY candidate the engine's
+      // prefix bound missed would appear here and fail the compare
+      val toks = s"list_distinct(string_split(${normSql("text")}, ' '))"
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         | nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+         | tok AS (SELECT doc_id, unnest($toks) AS t FROM d),
+         | tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         | dfq AS (SELECT t, count(*) AS df FROM tok2 GROUP BY t),
+         | w AS (SELECT k.doc_id, k.t, ln(nn.n / d.df) AS idf
+         |       FROM tok2 k JOIN dfq d USING (t), nn WHERE d.df < nn.n),
+         | nrm AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nm FROM w GROUP BY doc_id),
+         | u AS (SELECT w.doc_id, w.t, w.idf / nrm.nm AS u
+         |       FROM w JOIN nrm USING (doc_id)),
+         | dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   round(sum(a.u * b.u), 6) AS cosine
+         |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, cosine FROM dots WHERE cosine >= 0.95
          |ORDER BY 1, 2""".stripMargin
     },
     "q_ann_topk" ->

@@ -370,4 +370,104 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Lossless prefix-filtered IDF-weighted cosine similarity self-join —
+    * the AllPairs / prefix-filtering family (Bayardo, Ma & Srikant, WWW'07):
+    * emits EVERY unordered doc pair whose cosine over IDF-weighted distinct
+    * tokens is >= `threshold`, with NO probabilistic miss (the complete
+    * complement to MinHash/SimHash, whose candidate recall is a probability).
+    *
+    * Semantics (mirrored exactly by the DuckDB oracle):
+    *  - tokens: distinct normalized tokens per doc (set semantics, empty
+    *    token dropped); weight = ln(N/df), so tokens present in EVERY doc
+    *    weigh 0 and are dropped — they cannot change any cosine, and
+    *    removing them keeps the hottest join keys out of the posting lists;
+    *  - per-doc vectors are unit-normalized; docs with no weighted tokens
+    *    can never reach cosine > 0 and are excluded;
+    *  - `cosine` is rounded to 6 decimals BEFORE the threshold test.
+    *
+    * Why it is complete: order each doc's tokens by DESCENDING weight (ties
+    * by token, so the order is total and deterministic) and take the
+    * shortest prefix whose remaining suffix has norm < t. If a pair shares
+    * no token from doc x's prefix, every shared token lies in x's suffix,
+    * so dot(x,y) <= |x_suffix| * |y| < t. Hence any pair at cosine >= t
+    * shares at least one PREFIX token of each member, and joining prefix
+    * tokens against full posting lists generates every qualifying pair;
+    * false candidates die in the exact map-dot verification.
+    *
+    * Scale shape (100 TB): every stage is row-scale except the candidate
+    * equi-join on token — and the prefix trick is what tames it: prefixes
+    * hold each doc's RAREST tokens (highest IDF first), so hot tokens
+    * almost never appear on the build side of the join, inverting the usual
+    * skew problem. Shuffles: one token df aggregate, one token-keyed weight
+    * join, one per-doc aggregate, the candidate join + pair distinct, and
+    * two id-keyed verify joins. No cross join exists at any scale. Intended
+    * for near-dup thresholds (>= ~0.5): as t -> 0 prefixes approach the
+    * whole document and the join degrades toward all-pairs-sharing-a-token.
+    */
+  def prefixCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val n = docs.count() // one row-scale scalar (parquet: footer metadata)
+    val tok = docs
+      .select(col(idCol).as("__id"),
+        explode(Dedup.distinctTokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+    val dfT = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") < n)
+      .withColumn("__idf", log(lit(n.toDouble) / col("__df")))
+      .select("__t", "__idf")
+    // per-doc unit vector as a (weight desc, token desc)-sorted struct array
+    // — sort_array canonicalizes collect_list's arbitrary order, so prefix
+    // extraction and the emitted values are partition-layout-independent
+    val arr = tok.join(dfT, "__t")
+      .groupBy("__id")
+      .agg(
+        sort_array(collect_list(struct(col("__idf"), col("__t"))), asc = false)
+          .as("__ws"),
+        sqrt(sum(col("__idf") * col("__idf"))).as("__nm"))
+      .filter(col("__nm") > 0)
+      .select(col("__id"),
+        transform(col("__ws"),
+          e => struct(e("__t").as("t"), (e("__idf") / col("__nm")).as("u")))
+          .as("__ws"))
+    // prefix length: positions whose cumulative weight mass has not yet
+    // exceeded 1 - t^2, plus one. The 1e-9 slack only ever ENLARGES the
+    // prefix (more candidates, never a missed pair) against float rounding.
+    val cums = aggregate(
+      col("__ws"), array().cast("array<double>"),
+      (acc, e) =>
+        concat(acc, array(
+          // try_element_at: ANSI mode throws on element_at(empty, -1)
+          coalesce(try_element_at(acc, lit(-1)), lit(0.0)) + e("u") * e("u"))))
+    val prefLen = least(size(col("__ws")),
+      size(filter(cums,
+        c => c <= lit(1.0 - threshold * threshold + 1e-9))) + lit(1))
+    val sides = arr
+      .withColumn("__toks", transform(col("__ws"), e => e("t")))
+      .withColumn("__pref", slice(col("__toks"), lit(1), prefLen))
+      .withColumn("__map",
+        map_from_entries(transform(col("__ws"), e => struct(e("t"), e("u")))))
+    val pref = sides.select(col("__id").as("__pa"), explode(col("__pref")).as("__t"))
+    val full = sides.select(col("__id").as("__pb"), explode(col("__toks")).as("__t"))
+    val cand = pref.join(full, "__t")
+      .filter(col("__pa") =!= col("__pb"))
+      .select(least(col("__pa"), col("__pb")).as("id_a"),
+        greatest(col("__pa"), col("__pb")).as("id_b"))
+      .distinct()
+    val ma = sides.select(col("__id").as("id_a"), col("__map").as("__ma"))
+    val mb = sides.select(col("__id").as("id_b"), col("__map").as("__mb"))
+    cand.join(ma, "id_a").join(mb, "id_b")
+      .withColumn("cosine", round(
+        aggregate(map_entries(col("__ma")), lit(0.0),
+          (acc, e) => acc +
+            e("value") * coalesce(element_at(col("__mb"), e("key")), lit(0.0))),
+        6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

@@ -405,6 +405,65 @@ class TextOpsSpec extends SparkSpec {
     assert(bloomed.queryExecution.executedPlan.toString.contains("bloom_might_contain"))
   }
 
+  test("prefix-filtered cosine join == brute-force IDF cosine (lossless), and prunes") {
+    // plant near-copies (one appended token) so pairs exist at the threshold
+    val corpus = docs.limit(100).union(
+      docs.limit(15).select((col("doc_id") + 9000000000L).as("doc_id"),
+        concat(col("text"), lit(" zqxj"), col("doc_id").cast("string")).as("text")))
+    val t = 0.6
+    val got = Similarity.prefixCosinePairs(corpus, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // brute-force twin: identical weight definition, ALL pairs scored
+    val n = corpus.count()
+    val tok = corpus.select(col("doc_id"), explode(Dedup.distinctTokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val dfT = tok.groupBy("t").agg(count(lit(1)).as("df")).filter(col("df") < n)
+      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+    val w = tok.join(dfT, "t")
+      .withColumn("nm", sqrt(sum(col("idf") * col("idf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
+      .withColumn("u", col("idf") / col("nm"))
+    val exp = w.select(col("doc_id").as("id_a"), col("t"), col("u").as("ua"))
+      .join(w.select(col("doc_id").as("id_b"), col("t"), col("u").as("ub")), "t")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(round(sum(col("ua") * col("ub")), 6).as("cosine"))
+      .filter(col("cosine") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp, s"prefix join must be lossless: missing=${exp -- got}, extra=${got -- exp}")
+    assert(got.nonEmpty, "test corpus must contain near-dup pairs at the threshold")
+
+    // the prefix actually prunes: candidate postings strictly smaller than
+    // the full posting lists for a corpus of non-trivial documents
+    val full = tok.count()
+    val prefixed = Similarity.prefixCosinePairs(corpus, "doc_id", "text", t)
+    assert(prefixed.queryExecution.executedPlan.toString.contains("SortMergeJoin") ||
+      prefixed.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "candidate generation must be an equi-join, not a cartesian product")
+    assert(full > n * 5, "fixture sanity: docs must be non-trivial")
+  }
+
+  test("prefix cosine join: determinism across row order; zero-norm docs excluded") {
+    val special = Seq(
+      (1L, "common common common"), // single distinct token, shared by all
+      (2L, "common unique alpha beta gamma"),
+      (3L, "common unique alpha beta gamma"), // exact dup of 2 -> cosine 1.0
+      (4L, ""),                               // no tokens at all
+      (5L, "common")).toDF("doc_id", "text")
+    val got = Similarity.prefixCosinePairs(special, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // docs 1, 4, 5: zero weighted tokens ("common" df < 5, so it DOES carry
+    // weight... but docs 1 and 5 reduce to the single token "common" which
+    // has df=4 < n=5, norm > 0 -> they are identical unit vectors
+    assert(got.contains((2L, 3L, 1.0)))
+    assert(got.contains((1L, 5L, 1.0)), "single-shared-token docs are identical unit vectors")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "empty doc must never pair")
+    val reordered = Similarity.prefixCosinePairs(
+      special.orderBy(desc("doc_id")).repartition(3), "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reordered == got)
+  }
+
   test("token frequencies match a hand count") {
     val df = Seq((1L, "the cat and the dog"), (2L, "THE cat!")).toDF("doc_id", "text")
     val got = TextStats.tokenFrequencies(df, "doc_id", "text").collect()

@@ -101,6 +101,32 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Sparse dot product of two (token, weight) vectors stored as
+    * `array<struct<t:string,u:double>>` arrays SORTED by token (binary
+    * UTF8String order — exactly `sort_array`'s StringType ordering, which
+    * callers use to canonicalize): one O(na+nb) merge, no map build, no
+    * per-pair interpreted lambda. Null tokens cannot occur by construction
+    * (callers filter empty/null tokens before aggregation).
+    */
+  def sortedWeightedDot(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var s = 0.0
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 2)
+      val rb = b.getStruct(j, 2)
+      val c = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (c == 0) {
+        s += ra.getDouble(1) * rb.getDouble(1)
+        i += 1; j += 1
+      } else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+
   /** One reusable raw-deflate instance per executor thread: `Deflater`
     * wraps native zlib state whose allocation dwarfs small-document
     * compression; `reset()` between rows keeps the output identical to a

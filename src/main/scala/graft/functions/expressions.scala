@@ -228,6 +228,26 @@ case class BloomMightContain(
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** Sparse (token, weight) dot product over token-sorted struct arrays —
+  * see [[TextKernels.sortedWeightedDot]]. No ImplicitCastInputTypes: the
+  * caller builds the exact `array<struct<t,u>>` shape; an analysis error on
+  * mismatch beats a silent cast.
+  */
+case class SortedWeightedDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedWeightedDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.sortedWeightedDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_weighted_dot"
+}
+
 /** Deflate compression ratio — see [[TextKernels.deflateRatio]]. */
 case class DeflateRatio(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -355,6 +375,9 @@ object GraftFunctions {
   def canonQuery(query: Column): Column = col(CanonQuery(expr(query)))
   def reverseLabels(host: Column): Column = col(ReverseLabels(expr(host)))
   def deflateRatio(text: Column): Column = col(DeflateRatio(expr(text)))
+  /** `a`/`b` must already be token-sorted `array<struct<t:string,u:double>>`. */
+  def sortedWeightedDot(a: Column, b: Column): Column =
+    col(SortedWeightedDot(expressionOf(a), expressionOf(b)))
 
   def jaroWinklerSim(a: Column, b: Column, p: Double = 0.1): Column =
     col(JaroWinklerSim(expr(a), expr(b), p))

@@ -447,11 +447,15 @@ object Similarity {
     val prefLen = least(size(col("__ws")),
       size(filter(cums,
         c => c <= lit(1.0 - threshold * threshold + 1e-9))) + lit(1))
+    // __sw: the SAME vector re-sorted by token (sort_array on struct(t, u)
+    // orders by the first field, binary UTF8String order) — the shape the
+    // codegen sorted_weighted_dot kernel merges in O(na+nb); the per-pair
+    // verification must never run an interpreted lambda (the O(pairs) side)
     val sides = arr
       .withColumn("__toks", transform(col("__ws"), e => e("t")))
       .withColumn("__pref", slice(col("__toks"), lit(1), prefLen))
-      .withColumn("__map",
-        map_from_entries(transform(col("__ws"), e => struct(e("t"), e("u")))))
+      .withColumn("__sw",
+        sort_array(transform(col("__ws"), e => struct(e("t"), e("u")))))
     val pref = sides.select(col("__id").as("__pa"), explode(col("__pref")).as("__t"))
     val full = sides.select(col("__id").as("__pb"), explode(col("__toks")).as("__t"))
     val cand = pref.join(full, "__t")
@@ -459,13 +463,11 @@ object Similarity {
       .select(least(col("__pa"), col("__pb")).as("id_a"),
         greatest(col("__pa"), col("__pb")).as("id_b"))
       .distinct()
-    val ma = sides.select(col("__id").as("id_a"), col("__map").as("__ma"))
-    val mb = sides.select(col("__id").as("id_b"), col("__map").as("__mb"))
+    val ma = sides.select(col("__id").as("id_a"), col("__sw").as("__wa"))
+    val mb = sides.select(col("__id").as("id_b"), col("__sw").as("__wb"))
     cand.join(ma, "id_a").join(mb, "id_b")
       .withColumn("cosine", round(
-        aggregate(map_entries(col("__ma")), lit(0.0),
-          (acc, e) => acc +
-            e("value") * coalesce(element_at(col("__mb"), e("key")), lit(0.0))),
+        graft.functions.GraftFunctions.sortedWeightedDot(col("__wa"), col("__wb")),
         6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

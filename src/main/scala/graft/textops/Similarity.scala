@@ -451,11 +451,19 @@ object Similarity {
     // orders by the first field, binary UTF8String order) — the shape the
     // codegen sorted_weighted_dot kernel merges in O(na+nb); the per-pair
     // verification must never run an interpreted lambda (the O(pairs) side)
+    // persisted: four consumers below (prefix postings, full postings, and
+    // both verify sides) would otherwise each recompute the whole
+    // tokenize→df→weight→per-doc-aggregate pipeline — column pruning gives
+    // each branch a differently-narrowed aggregate, so ReuseExchange never
+    // fires (measured: 8 scans / 4 doc-aggregates in the un-persisted
+    // plan). One row per doc with its arrays = O(corpus tokens), the
+    // operator's working set; MEMORY_AND_DISK spills rather than OOMs.
     val sides = arr
       .withColumn("__toks", transform(col("__ws"), e => e("t")))
       .withColumn("__pref", slice(col("__toks"), lit(1), prefLen))
       .withColumn("__sw",
         sort_array(transform(col("__ws"), e => struct(e("t"), e("u")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = sides.select(col("__id").as("__pa"), explode(col("__pref")).as("__t"))
     val full = sides.select(col("__id").as("__pb"), explode(col("__toks")).as("__t"))
     val cand = pref.join(full, "__t")

@@ -555,6 +555,25 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
+    "q_cosine_index" -> ((s, dir) => {
+      // the PERSISTED text-cosine index end-to-end: write (frozen en-corpus
+      // vocabulary, prefix postings, token-sorted vectors) then match a
+      // derived query batch — exact en copies must hit 1.0, other-language
+      // queries exercise the OOV ln(N) rule. The oracle recomputes the
+      // frozen-weight brute force for EVERY (query, corpus) pair in DuckDB,
+      // so a missed candidate or a drifted weight fails the gate
+      val en = t(s, dir, "documents").filter(col("lang") === "en")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_q_cosine_index").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        new scala.reflect.io.Directory(new java.io.File(idx)).deleteRecursively()))
+      Similarity.writeCosineIndex(en, "doc_id", "text", idx, threshold = 0.95)
+      val q = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Similarity.queryCosineIndex(q, "doc_id", "text", idx)
+        .orderBy("query_id", "corpus_id")
+    }),
     "q_text_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 200)
       d.select(
@@ -1042,6 +1061,40 @@ object SparkEntry {
          |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, cosine FROM dots WHERE cosine >= 0.95
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "q_cosine_index" -> {
+      // frozen-weight brute-force twin: en-corpus statistics, query batch
+      // derived by the same doc_id % 3 rule, OOV tokens at ln(N), weight-0
+      // (ubiquitous) tokens dropped on both sides — every qualifying
+      // (query, corpus) pair recomputed from scratch
+      val toks = s"list_distinct(string_split(${normSql("text")}, ' '))"
+      s"""WITH c AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         | q AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents
+         |       WHERE doc_id % 3 = 0),
+         | nn AS (SELECT count(*)::DOUBLE AS n FROM c),
+         | ctok AS (SELECT doc_id, t FROM
+         |   (SELECT doc_id, unnest($toks) AS t FROM c) WHERE t <> ''),
+         | vocab AS (SELECT t, ln(nn.n / count(*)) AS idf
+         |           FROM ctok, nn GROUP BY t, nn.n),
+         | cw AS (SELECT k.doc_id, k.t, v.idf FROM ctok k
+         |        JOIN vocab v USING (t) WHERE v.idf > 0),
+         | cn AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nm FROM cw GROUP BY doc_id),
+         | cu AS (SELECT cw.doc_id, cw.t, cw.idf / cn.nm AS u
+         |        FROM cw JOIN cn USING (doc_id)),
+         | qtok AS (SELECT doc_id, t FROM
+         |   (SELECT doc_id, unnest($toks) AS t FROM q) WHERE t <> ''),
+         | qw AS (SELECT k.doc_id, k.t, coalesce(v.idf, ln(nn.n)) AS idf
+         |        FROM qtok k LEFT JOIN vocab v USING (t), nn),
+         | qw1 AS (SELECT * FROM qw WHERE idf > 0),
+         | qn AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nm FROM qw1 GROUP BY doc_id),
+         | qu AS (SELECT qw1.doc_id, qw1.t, qw1.idf / qn.nm AS u
+         |        FROM qw1 JOIN qn USING (doc_id)),
+         | dots AS (
+         |  SELECT qu.doc_id AS query_id, cu.doc_id AS corpus_id,
+         |   round(sum(qu.u * cu.u), 6) AS cosine
+         |  FROM qu JOIN cu ON qu.t = cu.t GROUP BY 1, 2)
+         |SELECT query_id, corpus_id, cosine FROM dots WHERE cosine >= 0.95
          |ORDER BY 1, 2""".stripMargin
     },
     "q_ann_topk" ->

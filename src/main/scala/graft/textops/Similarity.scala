@@ -405,26 +405,27 @@ object Similarity {
     * for near-dup thresholds (>= ~0.5): as t -> 0 prefixes approach the
     * whole document and the join degrades toward all-pairs-sharing-a-token.
     */
-  def prefixCosinePairs(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
-    val n = docs.count() // one row-scale scalar (parquet: footer metadata)
-    val tok = docs
-      .select(col(idCol).as("__id"),
+  /** (__id, __t) distinct normalized tokens per doc, empty tokens dropped. */
+  private def docTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
         explode(Dedup.distinctTokens(col(textCol))).as("__t"))
       .filter(col("__t") =!= "")
-    val dfT = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") < n)
-      .withColumn("__idf", log(lit(n.toDouble) / col("__df")))
-      .select("__t", "__idf")
-    // per-doc unit vector as a (weight desc, token desc)-sorted struct array
-    // — sort_array canonicalizes collect_list's arbitrary order, so prefix
-    // extraction and the emitted values are partition-layout-independent
-    val arr = tok.join(dfT, "__t")
+
+  /** Per-doc unit vectors from a (__id, __t) token table and a positive
+    * (__t, __idf) weight table: one row per doc with
+    *  - `__toks`: tokens in DESCENDING-weight order (ties by token — a
+    *    total, deterministic order; sort_array canonicalizes collect_list),
+    *  - `__pref`: the shortest prefix of `__toks` whose remaining suffix
+    *    has norm < `threshold` (the lossless AllPairs bound; the 1e-9 slack
+    *    only ever ENLARGES the prefix — more candidates, never a miss),
+    *  - `__sw`: the same vector re-sorted by TOKEN (binary UTF8String
+    *    order), the shape the codegen sorted_weighted_dot kernel merges in
+    *    O(na+nb) — per-pair verification never runs an interpreted lambda.
+    * Docs with no weighted tokens cannot reach cosine > 0 and are excluded.
+    */
+  private def weightedSides(
+      tok: DataFrame, weights: DataFrame, threshold: Double): DataFrame = {
+    val arr = tok.join(weights, "__t")
       .groupBy("__id")
       .agg(
         sort_array(collect_list(struct(col("__idf"), col("__t"))), asc = false)
@@ -435,9 +436,6 @@ object Similarity {
         transform(col("__ws"),
           e => struct(e("__t").as("t"), (e("__idf") / col("__nm")).as("u")))
           .as("__ws"))
-    // prefix length: positions whose cumulative weight mass has not yet
-    // exceeded 1 - t^2, plus one. The 1e-9 slack only ever ENLARGES the
-    // prefix (more candidates, never a missed pair) against float rounding.
     val cums = aggregate(
       col("__ws"), array().cast("array<double>"),
       (acc, e) =>
@@ -447,10 +445,27 @@ object Similarity {
     val prefLen = least(size(col("__ws")),
       size(filter(cums,
         c => c <= lit(1.0 - threshold * threshold + 1e-9))) + lit(1))
-    // __sw: the SAME vector re-sorted by token (sort_array on struct(t, u)
-    // orders by the first field, binary UTF8String order) — the shape the
-    // codegen sorted_weighted_dot kernel merges in O(na+nb); the per-pair
-    // verification must never run an interpreted lambda (the O(pairs) side)
+    arr
+      .withColumn("__toks", transform(col("__ws"), e => e("t")))
+      .withColumn("__pref", slice(col("__toks"), lit(1), prefLen))
+      .withColumn("__sw",
+        sort_array(transform(col("__ws"), e => struct(e("t"), e("u")))))
+      .drop("__ws")
+  }
+
+  def prefixCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val n = docs.count() // one row-scale scalar (parquet: footer metadata)
+    val tok = docTokens(docs, idCol, textCol)
+    val dfT = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") < n)
+      .withColumn("__idf", log(lit(n.toDouble) / col("__df")))
+      .select("__t", "__idf")
     // persisted: four consumers below (prefix postings, full postings, and
     // both verify sides) would otherwise each recompute the whole
     // tokenize→df→weight→per-doc-aggregate pipeline — column pruning gives
@@ -458,11 +473,7 @@ object Similarity {
     // fires (measured: 8 scans / 4 doc-aggregates in the un-persisted
     // plan). One row per doc with its arrays = O(corpus tokens), the
     // operator's working set; MEMORY_AND_DISK spills rather than OOMs.
-    val sides = arr
-      .withColumn("__toks", transform(col("__ws"), e => e("t")))
-      .withColumn("__pref", slice(col("__toks"), lit(1), prefLen))
-      .withColumn("__sw",
-        sort_array(transform(col("__ws"), e => struct(e("t"), e("u")))))
+    val sides = weightedSides(tok, dfT, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = sides.select(col("__id").as("__pa"), explode(col("__pref")).as("__t"))
     val full = sides.select(col("__id").as("__pb"), explode(col("__toks")).as("__t"))
@@ -479,5 +490,156 @@ object Similarity {
         6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Persisted text-cosine index — the write-once / query-many form of
+    * [[prefixCosinePairs]] (the text twin of [[writeIvfIndex]]): at 100 TB
+    * the corpus statistics and postings are built ONCE, and each query
+    * batch (an increment to dedupe, a stream of new crawl pages) joins
+    * against the stored artifact instead of re-weighting the corpus.
+    *
+    * Layout under `path`:
+    *  - `vectors/`  (id, sw)    — per-doc token-sorted unit vectors,
+    *  - `postings/` (id, token) — each doc's PREFIX tokens only: the
+    *    lossless candidate index (rarest tokens ⇒ short posting lists),
+    *  - `_graft_vocab` (token, df, idf) — the FULL frozen vocabulary,
+    *    including idf = 0 rows (df = N), so a query can distinguish
+    *    "seen but ubiquitous" (weight 0, dropped) from "never seen"
+    *    (the OOV rule below),
+    *  - `_graft_meta` (n, threshold) — the frozen corpus size + the
+    *    threshold the prefixes were sized for.
+    *
+    * Frozen-statistics contract: query-side weights come from the stored
+    * vocabulary, NOT from the query batch — results are reproducible and
+    * append-consistent. Out-of-vocabulary tokens weigh ln(N) (df treated
+    * as 1, maximal rarity): they count toward the query's norm — novel
+    * content *reduces* similarity to the indexed corpus, which is the
+    * honest direction — and contribute 0 to every dot against original
+    * corpus docs (no stored vector contains them). The rule is
+    * deterministic, so appended docs and later queries sharing the same
+    * OOV token agree on its weight.
+    *
+    * Completeness: a (query, corpus) pair at cosine >= t must share a
+    * token in the CORPUS doc's prefix (its suffix-norm is < t by
+    * construction, and the dot only counts tokens the corpus doc has), so
+    * joining the query's full token list against the prefix postings
+    * generates every qualifying pair; exact sorted-merge dot verifies.
+    */
+  def writeCosineIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      threshold: Double): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    val tok = docTokens(corpus, idCol, textCol)
+    val vocab = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .withColumn("__idf", log(lit(n.toDouble) / col("__df")))
+    vocab.select(col("__t").as("token"), col("__df").as("df"), col("__idf").as("idf"))
+      .write.mode("overwrite").parquet(s"$path/_graft_vocab")
+    val sides = weightedSides(tok,
+        vocab.filter(col("__idf") > 0).select("__t", "__idf"), threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sides.select(col("__id").as("id"), col("__sw").as("sw"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    sides.select(col("__id").as("id"), explode(col("__pref")).as("token"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    sides.unpersist()
+    Seq((n, threshold)).toDF("n", "threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_meta")
+  }
+
+  /** Appends new documents to an EXISTING cosine index under its frozen
+    * vocabulary — the daily-increment maintenance path: no stored file is
+    * rewritten and the one-off corpus statistics pass never re-runs. OOV
+    * tokens follow the index's deterministic ln(N) rule (see
+    * [[writeCosineIndex]]), so later queries sharing them score
+    * consistently. The caller owns id-disjointness (same contract as
+    * [[appendToIvfIndex]]).
+    */
+  def appendToCosineIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/_graft_meta").head()
+    val n = meta.getLong(0)
+    val threshold = meta.getDouble(1)
+    val idType = spark.read.parquet(s"$path/vectors").schema("id").dataType
+    val tok = docTokens(
+      newDocs.select(col(idCol).cast(idType).as(idCol), col(textCol)),
+      idCol, textCol)
+    val weights = frozenWeights(spark, path, n)
+    val sides = weightedSides(tok, weights, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sides.select(col("__id").as("id"), col("__sw").as("sw"))
+      .write.mode("append").parquet(s"$path/vectors")
+    sides.select(col("__id").as("id"), explode(col("__pref")).as("token"))
+      .write.mode("append").parquet(s"$path/postings")
+    sides.unpersist()
+  }
+
+  /** (__t, __idf) under the index's frozen stats: stored idf where seen
+    * (zero-weight rows already excluded), ln(N) for OOV. Implemented as the
+    * stored positive vocabulary UNION "everything else gets ln(N)" at the
+    * caller's join site — returned as a closed-over transform so the OOV
+    * rule lives in exactly one place.
+    */
+  private def frozenWeights(
+      spark: org.apache.spark.sql.SparkSession, path: String, n: Long): DataFrame =
+    spark.read.parquet(s"$path/_graft_vocab")
+      .select(col("token").as("__t"), col("idf").as("__idf"))
+
+  /** Weight table for a query-side token table under the frozen vocab:
+    * left join, OOV -> ln(N), zero-weight (ubiquitous) tokens dropped.
+    */
+  private def queryWeights(tok: DataFrame, vocab: DataFrame, n: Long): DataFrame =
+    tok.select("__t").distinct()
+      .join(vocab, Seq("__t"), "left_outer")
+      .select(col("__t"),
+        coalesce(col("__idf"), lit(math.log(n.toDouble))).as("__idf"))
+      .filter(col("__idf") > 0)
+
+  /** Matches a query batch against a persisted cosine index: emits every
+    * (query_id, corpus_id) pair with frozen-weight cosine >= the index's
+    * threshold — complete by the corpus-side prefix bound (see
+    * [[writeCosineIndex]]). The query batch is typically orders of
+    * magnitude smaller than the index; nothing here rescans or re-weights
+    * the corpus beyond the candidate-hit posting rows and their vectors.
+    */
+  def queryCosineIndex(
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$path/_graft_meta").head()
+    val n = meta.getLong(0)
+    val threshold = meta.getDouble(1)
+    val vocab = frozenWeights(spark, path, n)
+    val tok = docTokens(queries, idCol, textCol)
+    val qsides = weightedSides(tok, queryWeights(tok, vocab, n), threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates: query FULL tokens vs stored PREFIX postings
+    val cand = qsides
+      .select(col("__id").as("query_id"), explode(col("__toks")).as("token"))
+      .join(spark.read.parquet(s"$path/postings"), "token")
+      .select(col("query_id"), col("id").as("corpus_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .distinct()
+    cand
+      .join(qsides.select(col("__id").as("query_id"), col("__sw").as("__qw")), "query_id")
+      .join(spark.read.parquet(s"$path/vectors")
+        .select(col("id").as("corpus_id"), col("sw").as("__cw")), "corpus_id")
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.sortedWeightedDot(col("__qw"), col("__cw")),
+        6))
+      .filter(col("cosine") >= threshold)
+      .select("query_id", "corpus_id", "cosine")
   }
 }

@@ -464,6 +464,62 @@ class TextOpsSpec extends SparkSpec {
     assert(reordered == got)
   }
 
+  test("persisted cosine index: query == frozen-weight brute force; append is consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("cosidx").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val corpus = docs.limit(80)
+    val t = 0.6
+    Similarity.writeCosineIndex(corpus, "doc_id", "text", path, t)
+
+    // queries: exact copies (must hit at 1.0), light edits, one all-OOV doc
+    val queries = corpus.limit(10)
+      .select((col("doc_id") + 9100000000L).as("doc_id"),
+        concat(col("text"), lit(" zw"), col("doc_id").cast("string")).as("text"))
+      .union(Seq((9999999999L, "qqq www eee rrr ttt yyy uuu")).toDF("doc_id", "text"))
+    val got = Similarity.queryCosineIndex(queries, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // frozen-weight brute-force twin: corpus df/N stats, query OOV -> ln(N)
+    val n = corpus.count()
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), explode(Dedup.distinctTokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+    val vocab = toks(corpus).groupBy("t").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+    def unitW(tk: org.apache.spark.sql.DataFrame, w: org.apache.spark.sql.DataFrame) =
+      tk.join(w, "t")
+        .withColumn("nm", sqrt(sum(col("idf") * col("idf"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
+        .withColumn("u", col("idf") / col("nm"))
+    val cw = unitW(toks(corpus), vocab.filter(col("idf") > 0).select("t", "idf"))
+    val qw = unitW(toks(queries),
+      toks(queries).select("t").distinct()
+        .join(vocab.select("t", "idf"), Seq("t"), "left_outer")
+        .select(col("t"), coalesce(col("idf"), lit(math.log(n.toDouble))).as("idf"))
+        .filter(col("idf") > 0))
+    val exp = qw.select(col("doc_id").as("query_id"), col("t"), col("u").as("uq"))
+      .join(cw.select(col("doc_id").as("corpus_id"), col("t"), col("u").as("uc")), "t")
+      .groupBy("query_id", "corpus_id")
+      .agg(round(sum(col("uq") * col("uc")), 6).as("cosine"))
+      .filter(col("cosine") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp, s"missing=${exp -- got}, extra=${got -- exp}")
+    assert(got.nonEmpty && got.exists(_._3 > 0.9), "light edits of corpus docs must score high")
+    assert(!got.exists(_._1 == 9999999999L), "the all-OOV query matches nothing")
+
+    // append: new docs land under the frozen stats; a re-query finds them
+    val increment = corpus.limit(5)
+      .select((col("doc_id") + 9200000000L).as("doc_id"), col("text"))
+    Similarity.appendToCosineIndex(increment, "doc_id", "text", path)
+    val after = Similarity.queryCosineIndex(queries, "doc_id", "text", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after.filter(_._2 < 9200000000L) == got,
+      "pairs against the original corpus must be unchanged by the append")
+    assert(after.exists(_._2 >= 9200000000L),
+      "queries must also hit the appended near-copies")
+  }
+
   test("token frequencies match a hand count") {
     val df = Seq((1L, "the cat and the dog"), (2L, "THE cat!")).toDF("doc_id", "text")
     val got = TextStats.tokenFrequencies(df, "doc_id", "text").collect()

@@ -103,6 +103,29 @@ class PlanSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("cosine join: codegen dot kernel, equi-join candidates, one computation of the vector table") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val df = graft.textops.Similarity.prefixCosinePairs(docs, "doc_id", "text", 0.7)
+    val plan = formatted(df)
+    // the per-pair verification must be the codegen merge kernel, never an
+    // interpreted HOF lambda (the O(pairs)-hostile shape)
+    assert(plan.contains("sorted_weighted_dot"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation degraded to a cartesian product:\n" + plan)
+    // the four consumers (prefix/full postings, both verify sides) must
+    // read the persisted per-doc vector table, not recompute it — without
+    // the persist the analyzed plan held 4 independent copies of the whole
+    // tokenize→weight→aggregate pipeline (string-counting the PHYSICAL plan
+    // is misleading here: InMemoryTableScan prints its cached plan's
+    // internals, so the aggregate appears textually once per reader)
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert("InMemoryRelation".r
+      .findAllIn(df.queryExecution.withCachedData.toString).length == 4,
+      "all four consumers must read the persisted vector table:\n" + plan)
+  }
+
   test("IVF cell assignment is a shuffle-free projection (no Exchange between scan and cell)") {
     import graft.textops.Similarity
     import spark.implicits._

@@ -430,5 +430,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("deflate_ratio", {
       case Seq(t) => DeflateRatio(t)
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_weighted_dot", {
+      case Seq(a, b) => SortedWeightedDot(a, b)
+    }, "scala_udf")
   }
 }

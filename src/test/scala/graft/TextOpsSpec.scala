@@ -769,11 +769,15 @@ class TextOpsSpec extends SparkSpec {
         | round(jw_sim('MARTHA', 'MARHTA'), 4) AS jw,
         | simhash64(array('a', 'b')) AS sh,
         | deflate_ratio(repeat('spam ', 50)) AS dr,
-        | deflate_ratio('') AS dr_empty""".stripMargin).head()
+        | deflate_ratio('') AS dr_empty,
+        | sorted_weighted_dot(
+        |   array(struct('a' AS t, 0.6D AS u), struct('b' AS t, 0.8D AS u)),
+        |   array(struct('b' AS t, 1.0D AS u))) AS swd""".stripMargin).head()
     assert(r.getString(0) == "a=1&b=2")
     assert(r.getString(1) == "com,example,www")
     assert(r.getDouble(2) == 0.9611)
     assert(r.getDouble(4) < 0.2 && r.getDouble(5) == 1.0)
+    assert(math.abs(r.getDouble(6) - 0.8) < 1e-12)
     // value parity with the column API
     import spark.implicits._
     val viaCol = Seq(Tuple1(Seq("a", "b"))).toDF("t")

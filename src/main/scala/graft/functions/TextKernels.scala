@@ -127,6 +127,60 @@ object TextKernels {
     s
   }
 
+  /** IDF-weighted unit vector from a token array under a broadcast-style
+    * vocabulary map — the projection form of the cosine index's query-side
+    * weighting, usable where a groupBy is unavailable (streaming): weights
+    * come from `vocab` (UTF8String → idf), absent tokens get `oovWeight`
+    * (the index's deterministic ln N rule), zero-weight ("seen but
+    * ubiquitous") and empty tokens are skipped, the vector is
+    * unit-normalized and returned TOKEN-SORTED (binary UTF8String order) as
+    * `array<struct<t,u>>` — exactly the shape [[sortedWeightedDot]] merges.
+    * Duplicate tokens are the caller's contract (distinct-token input), as
+    * in the aggregate form. No weighted tokens → empty array.
+    */
+  def weightedUnitVector(
+      toks: ArrayData,
+      vocab: java.util.HashMap[UTF8String, java.lang.Double],
+      oovWeight: Double): ArrayData = {
+    val n = toks.numElements()
+    val ts = new java.util.ArrayList[UTF8String](n)
+    val ws = new java.util.ArrayList[Double](n)
+    var i = 0
+    var sumSq = 0.0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        if (t.numBytes() > 0) {
+          val v = vocab.get(t)
+          val w = if (v == null) oovWeight else v.doubleValue()
+          if (w > 0.0) {
+            ts.add(t); ws.add(w); sumSq += w * w
+          }
+        }
+      }
+      i += 1
+    }
+    val m = ts.size()
+    if (m == 0 || sumSq <= 0.0) return new GenericArrayData(Array.empty[Any])
+    val nm = math.sqrt(sumSq)
+    val idx = Array.tabulate(m)(identity)
+    // sort indices by token binary order (UTF8String.compareTo)
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int =
+        ts.get(a.intValue()).compareTo(ts.get(b.intValue()))
+    })
+    val rows = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      val j = boxed(k).intValue()
+      rows(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ts.get(j), ws.get(j) / nm))
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** One reusable raw-deflate instance per executor thread: `Deflater`
     * wraps native zlib state whose allocation dwarfs small-document
     * compression; `reset()` between rows keeps the output identical to a

@@ -248,6 +248,40 @@ case class SortedWeightedDot(left: Expression, right: Expression)
   override def prettyName: String = "sorted_weighted_dot"
 }
 
+/** Broadcast-vocabulary weighted unit vector — see
+  * [[TextKernels.weightedUnitVector]]. The vocabulary map rides the codegen
+  * references array (`addReferenceObj`, same pattern as
+  * [[BloomMightContain]]), never the generated source.
+  */
+case class WeightedUnitVector(
+    child: Expression,
+    vocab: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double]],
+    oovWeight: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("u", DoubleType, nullable = false))),
+      containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.weightedUnitVector(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      vocab.value, oovWeight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftVocabBc", vocab,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.weightedUnitVector($c, " +
+        s"(java.util.HashMap)$ref.value(), ${oovWeight}D)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "weighted_unit_vector"
+}
+
 /** Deflate compression ratio — see [[TextKernels.deflateRatio]]. */
 case class DeflateRatio(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -378,6 +412,13 @@ object GraftFunctions {
   /** `a`/`b` must already be token-sorted `array<struct<t:string,u:double>>`. */
   def sortedWeightedDot(a: Column, b: Column): Column =
     col(SortedWeightedDot(expressionOf(a), expressionOf(b)))
+  /** `toks` must be a distinct-token `array<string>` column. */
+  def weightedUnitVector(
+      toks: Column,
+      vocab: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double]],
+      oovWeight: Double): Column =
+    col(WeightedUnitVector(expressionOf(toks.cast("array<string>")), vocab, oovWeight))
 
   def jaroWinklerSim(a: Column, b: Column, p: Double = 0.1): Column =
     col(JaroWinklerSim(expr(a), expr(b), p))

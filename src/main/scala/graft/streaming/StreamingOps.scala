@@ -213,6 +213,65 @@ object StreamingOps {
       .drop(specs.flatMap(s => Seq(s"${s.varname}_a", s"${s.varname}_b")): _*)
   }
 
+  /** Streaming near-duplicate matching against a persisted cosine index
+    * ([[graft.textops.Similarity.writeCosineIndex]]): every incoming doc is
+    * scored against the indexed corpus under the index's FROZEN statistics,
+    * emitting (query_id, corpus_id, cosine >= index threshold) — exactly
+    * [[graft.textops.Similarity.queryCosineIndex]]'s contract (parity is
+    * tested), but with ZERO streaming state:
+    *
+    *  - the query vector is a PROJECTION, not an aggregate: the codegen
+    *    `weighted_unit_vector` expression weights the doc's token array
+    *    against the broadcast vocabulary (OOV → ln N, weight-0 skipped)
+    *    and returns the token-sorted unit vector per row;
+    *  - candidates are a stream-static equi-join of exploded query tokens
+    *    against the stored PREFIX postings (append-mode-safe; complete by
+    *    the corpus-side suffix-norm bound);
+    *  - pair dedup needs no stateful `distinct`: the vector row carries the
+    *    corpus doc's prefix, so keeping only the row whose join token is
+    *    the SMALLEST shared prefix token (`array_min(array_intersect(...))`)
+    *    emits each qualifying pair exactly once — a pure filter;
+    *  - verification is the same codegen sorted-merge dot as batch.
+    *
+    * Scale shape: the only per-batch costs are the posting join against
+    * the (rare-token, short-list) prefix index and vector fetches for the
+    * candidate hits; the corpus is never rescanned or re-weighted.
+    */
+  def cosineMatchStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String): DataFrame = {
+    import graft.textops.Similarity
+    val spark = stream.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/_graft_meta").head()
+    val n = meta.getLong(0)
+    val threshold = meta.getDouble(1)
+    val vocabBc = Similarity.broadcastVocab(spark, indexPath)
+    val q = stream
+      .select(col(idCol).as("query_id"),
+        graft.functions.GraftFunctions.weightedUnitVector(
+          Dedup.distinctTokens(col(textCol)), vocabBc, math.log(n.toDouble))
+          .as("__qw"))
+      .filter(size(col("__qw")) > 0)
+      .withColumn("__qtoks", transform(col("__qw"), e => e("t")))
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .select(col("token"), col("id").as("corpus_id"))
+    val vectors = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("id").as("corpus_id"), col("sw"), col("pref"))
+    q.select(col("query_id"), col("__qw"), col("__qtoks"),
+        explode(col("__qtoks")).as("token"))
+      .join(postings, "token")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .join(vectors, "corpus_id")
+      .filter(col("token") ===
+        array_min(array_intersect(col("__qtoks"), col("pref"))))
+      .withColumn("cosine", round(
+        graft.functions.GraftFunctions.sortedWeightedDot(col("__qw"), col("sw")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("query_id", "corpus_id", "cosine")
+  }
+
   /** Watermarked tumbling-window ingest profile: documents per (window,
     * lang). Late data beyond `watermarkDelay` is dropped and the window
     * state evicted — bounded state at any corpus rate.

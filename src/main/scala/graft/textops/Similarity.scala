@@ -544,7 +544,12 @@ object Similarity {
     val sides = weightedSides(tok,
         vocab.filter(col("__idf") > 0).select("__t", "__idf"), threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sides.select(col("__id").as("id"), col("__sw").as("sw"))
+    // `pref` rides the vector row so a consumer holding a candidate pair
+    // can dedupe it WITHOUT a stateful distinct (keep only the row whose
+    // join token is the smallest shared prefix token — a pure projection;
+    // the streaming matcher depends on this). Batch readers that don't
+    // need it prune the column at the scan.
+    sides.select(col("__id").as("id"), col("__sw").as("sw"), col("__pref").as("pref"))
       .write.mode("overwrite").parquet(s"$path/vectors")
     sides.select(col("__id").as("id"), explode(col("__pref")).as("token"))
       .write.mode("overwrite").parquet(s"$path/postings")
@@ -577,7 +582,7 @@ object Similarity {
     val weights = frozenWeights(spark, path, n)
     val sides = weightedSides(tok, weights, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sides.select(col("__id").as("id"), col("__sw").as("sw"))
+    sides.select(col("__id").as("id"), col("__sw").as("sw"), col("__pref").as("pref"))
       .write.mode("append").parquet(s"$path/vectors")
     sides.select(col("__id").as("id"), explode(col("__pref")).as("token"))
       .write.mode("append").parquet(s"$path/postings")
@@ -604,6 +609,27 @@ object Similarity {
       .select(col("__t"),
         coalesce(col("__idf"), lit(math.log(n.toDouble))).as("__idf"))
       .filter(col("__idf") > 0)
+
+  /** Driver-collected broadcast of an index's FULL vocabulary (token → idf,
+    * INCLUDING the weight-0 rows — a probe must distinguish "seen but
+    * ubiquitous" (skip) from "never seen" (the OOV ln N rule)). One-time
+    * cost per consumer: the vocabulary is token-scale, orders of magnitude
+    * below the corpus, and this is the standard broadcast-dimension move —
+    * the price of weighting a STREAM with a pure projection instead of an
+    * aggregate.
+    */
+  def broadcastVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double]] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double]()
+    spark.read.parquet(s"$path/_graft_vocab").select("token", "idf").collect()
+      .foreach { r =>
+        m.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          java.lang.Double.valueOf(r.getDouble(1)))
+      }
+    spark.sparkContext.broadcast(m)
+  }
 
   /** Matches a query batch against a persisted cosine index: emits every
     * (query_id, corpus_id) pair with frozen-weight cosine >= the index's

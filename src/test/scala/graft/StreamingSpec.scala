@@ -248,4 +248,47 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains(("00:00", "de", 1L)), s"got $out")
     } finally q.stop()
   }
+
+  test("streaming cosine match == batch queryCosineIndex; no duplicate pair rows; OOV matches nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.textops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("coscidx_stream").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val corpus = graft.sources.WebCorpus
+      .pages(spark, graft.sources.WebCorpus.Params(nBase = 60, dupFraction = 0.3, nHosts = 5))
+      .select(col("page_id").as("doc_id"), col("text"))
+    Similarity.writeCosineIndex(corpus, "doc_id", "text", path, threshold = 0.6)
+
+    // queries: near-copies of corpus docs (must hit), one all-OOV, one empty
+    val queryRows = corpus.limit(8)
+      .select((col("doc_id") + 9300000000L).as("doc_id"),
+        concat(col("text"), lit(" zq"), col("doc_id").cast("string")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((9911111111L, "xxq wwq eeq rrq ttq"), (9922222222L, ""))
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.cosineMatchStream(docs, "doc_id", "text", path)
+      .writeStream.format("memory").queryName("cos_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = queryRows.splitAt(4) // two micro-batches
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = spark.table("cos_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the min-shared-prefix-token dedup must emit each pair EXACTLY once
+      assert(rows.length == rows.toSet.size, "duplicate pair rows emitted")
+      val got = rows.toSet
+      val exp = Similarity.queryCosineIndex(
+          queryRows.toDF("doc_id", "text"), "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == exp, s"missing=${exp -- got}, extra=${got -- exp}")
+      assert(got.nonEmpty && got.exists(_._3 > 0.9))
+      assert(!got.exists(p => p._1 == 9911111111L || p._1 == 9922222222L))
+    } finally q.stop()
+  }
 }

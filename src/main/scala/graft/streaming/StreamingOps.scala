@@ -244,7 +244,7 @@ object StreamingOps {
       indexPath: String): DataFrame = {
     import graft.textops.Similarity
     val spark = stream.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/_graft_meta").head()
+    val meta = spark.read.parquet(s"$indexPath/_graft_meta").select("n", "threshold").head()
     val n = meta.getLong(0)
     val threshold = meta.getDouble(1)
     val vocabBc = Similarity.broadcastVocab(spark, indexPath)

@@ -572,7 +572,7 @@ object Similarity {
       textCol: String,
       path: String): Unit = {
     val spark = newDocs.sparkSession
-    val meta = spark.read.parquet(s"$path/_graft_meta").head()
+    val meta = spark.read.parquet(s"$path/_graft_meta").select("n", "threshold").head()
     val n = meta.getLong(0)
     val threshold = meta.getDouble(1)
     val idType = spark.read.parquet(s"$path/vectors").schema("id").dataType
@@ -644,7 +644,7 @@ object Similarity {
       textCol: String,
       path: String): DataFrame = {
     val spark = queries.sparkSession
-    val meta = spark.read.parquet(s"$path/_graft_meta").head()
+    val meta = spark.read.parquet(s"$path/_graft_meta").select("n", "threshold").head()
     val n = meta.getLong(0)
     val threshold = meta.getDouble(1)
     val vocab = frozenWeights(spark, path, n)

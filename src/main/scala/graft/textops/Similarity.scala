@@ -579,7 +579,12 @@ object Similarity {
     val tok = docTokens(
       newDocs.select(col(idCol).cast(idType).as(idCol), col(textCol)),
       idCol, textCol)
-    val weights = frozenWeights(spark, path, n)
+    // the SAME weight rule as the query paths (queryWeights): OOV tokens at
+    // ln(N), weight-0 (ubiquitous) dropped — a bare inner join against the
+    // vocabulary would silently DROP an appended doc's novel tokens, so an
+    // identical later query (which weights them) could never score 1.0
+    // against it
+    val weights = queryWeights(tok, frozenWeights(spark, path, n), n)
     val sides = weightedSides(tok, weights, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sides.select(col("__id").as("id"), col("__sw").as("sw"), col("__pref").as("pref"))
@@ -589,11 +594,10 @@ object Similarity {
     sides.unpersist()
   }
 
-  /** (__t, __idf) under the index's frozen stats: stored idf where seen
-    * (zero-weight rows already excluded), ln(N) for OOV. Implemented as the
-    * stored positive vocabulary UNION "everything else gets ln(N)" at the
-    * caller's join site — returned as a closed-over transform so the OOV
-    * rule lives in exactly one place.
+  /** (__t, __idf) as stored: the FULL frozen vocabulary INCLUDING the
+    * idf = 0 (ubiquitous) rows — pass through [[queryWeights]] to apply
+    * the probe-side rule (OOV → ln N, weight-0 dropped); never join this
+    * directly, or OOV tokens silently vanish.
     */
   private def frozenWeights(
       spark: org.apache.spark.sql.SparkSession, path: String, n: Long): DataFrame =

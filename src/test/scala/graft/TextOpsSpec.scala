@@ -518,6 +518,19 @@ class TextOpsSpec extends SparkSpec {
       "pairs against the original corpus must be unchanged by the append")
     assert(after.exists(_._2 >= 9200000000L),
       "queries must also hit the appended near-copies")
+
+    // OOV consistency: an appended doc containing NOVEL tokens and an
+    // identical later query must agree on their weights (both ln N) and
+    // score exactly 1.0 — the inner-join form silently dropped the OOV
+    // tokens from the appended vector and broke this
+    val oovText = "zzqx wwqx novel tokens beside common prose here today"
+    Similarity.appendToCosineIndex(
+      Seq((9500000000L, oovText)).toDF("doc_id", "text"), "doc_id", "text", path)
+    val hit = Similarity.queryCosineIndex(
+        Seq((9600000000L, oovText)).toDF("doc_id", "text"), "doc_id", "text", path)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(hit.contains((9500000000L, 1.0)),
+      s"identical OOV-bearing doc must score 1.0 against its appended twin, got $hit")
   }
 
   test("token frequencies match a hand count") {

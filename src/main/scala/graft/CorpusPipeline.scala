@@ -22,7 +22,13 @@ import graft.textops.{Dedup, QualityFilters, SpanDedup, TextStats}
   *                              exceeds the cap; 1.0 (default) = stage off \
   *   [--min-deflate-ratio 0.2]  drop docs whose deflate compressibility \
   *                              falls below the floor (byte-level
-  *                              repetition); 0.0 (default) = rule off
+  *                              repetition); 0.0 (default) = rule off \
+  *   [--near-dup-jaccard 0.85]  MinHash+LSH near-duplicate dedup over the
+  *                              boilerplate-cleaned text (verified true
+  *                              shingle Jaccard >= the cut; min-id doc per
+  *                              connected near-dup cluster is kept);
+  *                              0.0 (default) = stage off; requires
+  *                              numeric ids (clustering contract)
   * }}}
   *
   * Scale shape: ONE document-scale pass materializes every signal column
@@ -54,11 +60,13 @@ object CorpusPipeline {
       redactPii: Boolean = true,
       maxDupSpanFrac: Double = 1.0,
       spanK: Int = 8,
-      minDeflateRatio: Double = 0.0)
+      minDeflateRatio: Double = 0.0,
+      nearDupJaccard: Double = 0.0)
 
   private val knownFlags = Set("input", "out", "id", "text", "line-dup-docs",
     "min-tokens", "max-dup-5gram", "max-top-bigram", "min-quality",
-    "max-dup-span-frac", "span-dedup-k", "min-deflate-ratio")
+    "max-dup-span-frac", "span-dedup-k", "min-deflate-ratio",
+    "near-dup-jaccard")
 
   def parseArgs(argv: Seq[String]): Args = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -90,15 +98,16 @@ object CorpusPipeline {
       redactPii = redact,
       maxDupSpanFrac = m.get("max-dup-span-frac").map(_.toDouble).getOrElse(1.0),
       spanK = m.get("span-dedup-k").map(_.toInt).getOrElse(8),
-      minDeflateRatio = m.get("min-deflate-ratio").map(_.toDouble).getOrElse(0.0))
+      minDeflateRatio = m.get("min-deflate-ratio").map(_.toDouble).getOrElse(0.0),
+      nearDupJaccard = m.get("near-dup-jaccard").map(_.toDouble).getOrElse(0.0))
   }
 
   /** Annotates every input document with its signal columns and a
     * `drop_reason` (null = kept; first matching rule wins, in pipeline
-    * order: exact_dup → all_boilerplate → too_short → repetitive_5gram →
-    * repetitive_bigram → duplicated_spans → repetitive_compress →
-    * low_quality). Exposed separately so tests and notebooks can audit the
-    * decision per document.
+    * order: exact_dup → all_boilerplate → near_dup → too_short →
+    * repetitive_5gram → repetitive_bigram → duplicated_spans →
+    * repetitive_compress → low_quality). Exposed separately so tests and
+    * notebooks can audit the decision per document.
     */
   def annotate(docs: DataFrame, a: Args): DataFrame = {
     val id = col(a.idCol)
@@ -145,17 +154,35 @@ object CorpusPipeline {
               greatest(col("n_tokens"), lit(1)), 6))
           .drop("__dup_span_tokens")
       }
+    // MinHash+LSH near-dup dedup over the boilerplate-CLEANED text (shared
+    // boilerplate must not manufacture similarity): verified true-Jaccard
+    // pairs -> connected components -> min-id doc per cluster keeps, the
+    // rest drop as near_dup. Off by default and skipped entirely when off —
+    // this is the pipeline's only stage with a (blocked, capped) pair space.
+    val nearDupOf =
+      if (a.nearDupJaccard <= 0.0) null
+      else {
+        val pairs = Dedup.minhashDupPairs(
+          cleaned, a.idCol, "text_clean", threshold = a.nearDupJaccard)
+        graft.operators.ConnectedComponents.clusterPairs(pairs)
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as(a.idCol), col("component").as("near_dup_of"))
+      }
+    val withNearDup =
+      if (nearDupOf == null) signals.withColumn("near_dup_of", lit(null).cast("long"))
+      else signals.join(nearDupOf, Seq(a.idCol), "left")
     val losers = withKeeper.filter(id =!= col("__keeper"))
       .select(id, col("__keeper").as("exact_dup_of"))
     val reason = when(col("exact_dup_of").isNotNull, "exact_dup")
       .when(length(col("text_clean")) === 0, "all_boilerplate")
+      .when(col("near_dup_of").isNotNull, "near_dup")
       .when(col("n_tokens") < a.minTokens, "too_short")
       .when(col("dup_5gram_frac") > a.maxDup5gram, "repetitive_5gram")
       .when(col("top_bigram_frac") > a.maxTopBigram, "repetitive_bigram")
       .when(col("dup_span_frac") > a.maxDupSpanFrac, "duplicated_spans")
       .when(col("deflate_ratio") < a.minDeflateRatio, "repetitive_compress")
       .when(col("quality") < a.minQuality, "low_quality")
-    signals
+    withNearDup
       .join(losers, Seq(a.idCol), "full_outer")
       .withColumn("drop_reason", reason)
       .withColumn("text_out",
@@ -185,9 +212,9 @@ object CorpusPipeline {
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val total = byReason.values.sum
-      val reasons = Seq("exact_dup", "all_boilerplate", "too_short",
-        "repetitive_5gram", "repetitive_bigram", "duplicated_spans",
-        "repetitive_compress", "low_quality")
+      val reasons = Seq("exact_dup", "all_boilerplate", "near_dup",
+        "too_short", "repetitive_5gram", "repetitive_bigram",
+        "duplicated_spans", "repetitive_compress", "low_quality")
       val reasonJson = reasons
         .map(r => s""""$r":${byReason.getOrElse(r, 0L)}""").mkString("{", ",", "}")
       val sec = (System.nanoTime() - t0) / 1e9

@@ -124,6 +124,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(off(11L) == null)
   }
 
+  test("near-dup dedup stage: min-id doc per verified cluster keeps, rest drop") {
+    // docs 21-23: one near-dup cluster (same long body, one token differs);
+    // doc 24: similar-length but different content (must survive)
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val withNearDups = corpus().union(Seq(
+      (21L, s"$body alpha"),
+      (22L, s"$body beta"),
+      (23L, s"$body gamma"),
+      (24L, (100 to 140).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text"))
+    val on = CorpusPipeline.annotate(withNearDups,
+        args.copy(nearDupJaccard = 0.8))
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(on(21L) == null, "min-id member of the near-dup cluster must keep")
+    assert(on(22L) == "near_dup" && on(23L) == "near_dup")
+    assert(on(24L) == null, "dissimilar doc must not be swept into a cluster")
+    // earlier rules still win first-match
+    assert(on(6L) == "exact_dup")
+    // off by default: the same corpus keeps all four
+    val off = CorpusPipeline.annotate(withNearDups, args)
+      .select("doc_id", "drop_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(off(22L) == null && off(23L) == null)
+  }
+
   test("arg parser: defaults, overrides, and fail-fast on typos") {
     val a = CorpusPipeline.parseArgs(Seq(
       "--input", "i.parquet", "--out", "o.parquet",

@@ -28,7 +28,9 @@ import graft.textops.{Dedup, QualityFilters, SpanDedup, TextStats}
   *                              shingle Jaccard >= the cut; min-id doc per
   *                              connected near-dup cluster is kept);
   *                              0.0 (default) = stage off; requires
-  *                              numeric ids (clustering contract)
+  *                              numeric ids (clustering contract) \
+  *   [--audit-out /path]        also write the per-document audit table
+  *                              (signal columns + drop_reason) as parquet
   * }}}
   *
   * Scale shape: ONE document-scale pass materializes every signal column
@@ -61,12 +63,13 @@ object CorpusPipeline {
       maxDupSpanFrac: Double = 1.0,
       spanK: Int = 8,
       minDeflateRatio: Double = 0.0,
-      nearDupJaccard: Double = 0.0)
+      nearDupJaccard: Double = 0.0,
+      auditOut: String = "")
 
   private val knownFlags = Set("input", "out", "id", "text", "line-dup-docs",
     "min-tokens", "max-dup-5gram", "max-top-bigram", "min-quality",
     "max-dup-span-frac", "span-dedup-k", "min-deflate-ratio",
-    "near-dup-jaccard")
+    "near-dup-jaccard", "audit-out")
 
   def parseArgs(argv: Seq[String]): Args = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -99,7 +102,8 @@ object CorpusPipeline {
       maxDupSpanFrac = m.get("max-dup-span-frac").map(_.toDouble).getOrElse(1.0),
       spanK = m.get("span-dedup-k").map(_.toInt).getOrElse(8),
       minDeflateRatio = m.get("min-deflate-ratio").map(_.toDouble).getOrElse(0.0),
-      nearDupJaccard = m.get("near-dup-jaccard").map(_.toDouble).getOrElse(0.0))
+      nearDupJaccard = m.get("near-dup-jaccard").map(_.toDouble).getOrElse(0.0),
+      auditOut = m.getOrElse("audit-out", ""))
   }
 
   /** Annotates every input document with its signal columns and a
@@ -206,6 +210,12 @@ object CorpusPipeline {
         .select(col(a.idCol), col("text_out").as(a.textCol),
           col("n_tokens"), col("quality"))
       kept.write.mode("overwrite").parquet(a.out)
+      // the per-document audit table (every signal column + drop_reason):
+      // the curation decision record reviewers and ablation studies read —
+      // written from the SAME persisted annotation, so it costs one extra
+      // write, never a recompute
+      if (a.auditOut.nonEmpty)
+        annotated.drop("text_out").write.mode("overwrite").parquet(a.auditOut)
       // ONE aggregate for the whole report (not a count() per stage)
       val byReason = annotated
         .groupBy(coalesce(col("drop_reason"), lit("kept")).as("reason"))

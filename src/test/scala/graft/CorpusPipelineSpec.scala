@@ -79,6 +79,15 @@ class CorpusPipelineSpec extends SparkSpec {
     val keptN = kept.count()
     assert(report.contains(s""""docs_kept":$keptN"""))
     assert(keptN == 6)
+    // --audit-out writes the full per-document decision record
+    val audit = tmpDir("corpus_audit") + "/audit.parquet"
+    CorpusPipeline.run(spark, args.copy(input = in, out = out, auditOut = audit))
+    val a = spark.read.parquet(audit)
+    assert(a.count() == 10, "audit table must cover EVERY input doc")
+    val cols = a.columns.toSet
+    assert(Set("doc_id", "drop_reason", "quality", "n_tokens",
+      "dup_5gram_frac", "deflate_ratio").subsetOf(cols), cols.toString)
+    assert(!cols.contains("text_out"), "redacted output text stays out of the audit")
   }
 
   test("duplicated-span coverage rule drops mostly-duplicate docs when enabled") {

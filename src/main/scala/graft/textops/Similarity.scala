@@ -453,17 +453,32 @@ object Similarity {
       .drop("__ws")
   }
 
+  /** `maxDfFraction` truncates the effective vocabulary to tokens appearing
+    * in at most that fraction of documents BEFORE weighting — the standard
+    * stop-word/df cut, a SEMANTIC parameter (cosine is then defined over
+    * the truncated vocabulary; the DuckDB oracle applies the same cut, and
+    * completeness holds with respect to it). Why it exists: the prefix
+    * trick's selectivity comes from rare tokens, which real open-vocabulary
+    * (Zipfian) text always has; on a closed-small-vocabulary corpus EVERY
+    * token's df grows linearly with N, posting lists balloon, and the
+    * candidate join degenerates (measured: a 13 MB 80k-doc synthetic corpus
+    * spilled > 80 GB at the join). 1.0 (default) = no cut.
+    */
   def prefixCosinePairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDfFraction: Double = 1.0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     val n = docs.count() // one row-scale scalar (parquet: footer metadata)
     val tok = docTokens(docs, idCol, textCol)
     val dfT = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
       .filter(col("__df") < n)
+      .filter(col("__df") <= lit(math.max(1.0, maxDfFraction * n)))
       .withColumn("__idf", log(lit(n.toDouble) / col("__df")))
       .select("__t", "__idf")
     // persisted: four consumers below (prefix postings, full postings, and
@@ -530,15 +545,24 @@ object Similarity {
       idCol: String,
       textCol: String,
       path: String,
-      threshold: Double): Unit = {
+      threshold: Double,
+      maxDfFraction: Double = 1.0): Unit = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
     val n = corpus.count()
     val tok = docTokens(corpus, idCol, textCol)
+    // df-capped tokens (see prefixCosinePairs' maxDfFraction doc) get
+    // idf = 0, NOT removal: they must stay in the stored vocabulary as
+    // "seen but unweighted" so probes skip them instead of applying the
+    // OOV ln N rule to a stop word
     val vocab = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
-      .withColumn("__idf", log(lit(n.toDouble) / col("__df")))
+      .withColumn("__idf",
+        when(col("__df") <= lit(math.max(1.0, maxDfFraction * n)),
+          log(lit(n.toDouble) / col("__df"))).otherwise(lit(0.0)))
     vocab.select(col("__t").as("token"), col("__df").as("df"), col("__idf").as("idf"))
       .write.mode("overwrite").parquet(s"$path/_graft_vocab")
     val sides = weightedSides(tok,

@@ -443,6 +443,34 @@ class TextOpsSpec extends SparkSpec {
     assert(full > n * 5, "fixture sanity: docs must be non-trivial")
   }
 
+  test("prefix cosine join: df-fraction vocabulary cap == brute force over the truncated vocab") {
+    val corpus = docs.limit(100)
+    val t = 0.5
+    val frac = 0.02
+    val got = Similarity.prefixCosinePairs(corpus, "doc_id", "text", t, maxDfFraction = frac)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val n = corpus.count()
+    val tok = corpus.select(col("doc_id"), explode(Dedup.distinctTokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val dfT = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") < n).filter(col("df") <= math.max(1.0, frac * n))
+      .withColumn("idf", log(lit(n.toDouble) / col("df")))
+    val w = tok.join(dfT, "t")
+      .withColumn("nm", sqrt(sum(col("idf") * col("idf"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id"))))
+      .withColumn("u", col("idf") / col("nm"))
+    val exp = w.select(col("doc_id").as("id_a"), col("t"), col("u").as("ua"))
+      .join(w.select(col("doc_id").as("id_b"), col("t"), col("u").as("ub")), "t")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(round(sum(col("ua") * col("ub")), 6).as("cosine"))
+      .filter(col("cosine") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp, s"missing=${exp -- got}, extra=${got -- exp}")
+    // the cut genuinely removes vocabulary on this corpus (not a no-op)
+    val full = tok.join(tok.groupBy("t").agg(count(lit(1)).as("df")).filter(col("df") < n), "t")
+    assert(dfT.count() < full.select("t").distinct().count())
+  }
+
   test("prefix cosine join: determinism across row order; zero-norm docs excluded") {
     val special = Seq(
       (1L, "common common common"), // single distinct token, shared by all

@@ -29,7 +29,16 @@ object WebCorpus {
       nHosts: Int = 200,
       seed: Long = 42L,
       minBodyTokens: Int = 20,
-      maxBodyTokens: Int = 60)
+      maxBodyTokens: Int = 60,
+      // opt-in open-vocabulary tail: ~10% of token positions carry a
+      // near-unique per-(page, position) suffix, giving the corpus the
+      // Zipfian rare-token tail real crawls have (the fixed 2,000-token
+      // dictionary alone makes EVERY token common — min df grows linearly
+      // with corpus size, the regime where rare-token techniques like
+      // prefix filtering degenerate by construction). Default OFF: every
+      // existing fixture, bench corpus, and gate hash is built on the
+      // closed-dictionary text and must not shift.
+      openVocab: Boolean = false)
 
   /** Deterministic token dictionary (pronounceable trigram combos). */
   private val dict: Array[String] = {
@@ -56,8 +65,20 @@ object WebCorpus {
   private def baseTokens(p: Params, id: Column): Column = {
     val bodyLen = hmod(p.seed + 1, (p.maxBodyTokens - p.minBodyTokens + 1).toLong, id) +
       lit(p.minBodyTokens + 3) // +3 title tokens
-    transform(sequence(lit(1), bodyLen),
-      pos => element_at(dictCol, (hmod(p.seed + 2, dict.length.toLong, id, pos) + 1).cast("int")))
+    transform(sequence(lit(1), bodyLen), pos => {
+      val base = element_at(dictCol,
+        (hmod(p.seed + 2, dict.length.toLong, id, pos) + 1).cast("int"))
+      if (!p.openVocab) base
+      else
+        // ~10% of positions: suffix the token with a hash of (page, pos) —
+        // a near-hapax tail (alnum, so it survives normalization); dups
+        // inherit the base page's rare tokens, exactly how real near-dup
+        // pages share their distinguishing vocabulary
+        when(hmod(p.seed + 11, 10L, id, pos) === 0,
+          concat(base, lit("x"),
+            hmod(p.seed + 12, 100000000L, id, pos).cast("string")))
+          .otherwise(base)
+    })
   }
 
   /** Builds the pages DataFrame. Output columns:

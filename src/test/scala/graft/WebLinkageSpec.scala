@@ -26,6 +26,34 @@ class WebLinkageSpec extends SparkSpec {
     assert(WebCorpus.table(spark, params).select("url").distinct().count() == n)
   }
 
+  test("openVocab adds a rare-token tail; the default corpus is byte-unchanged") {
+    import graft.textops.Dedup
+    def vocabStats(p: WebCorpus.Params) = {
+      val dfT = WebCorpus.pages(spark, p)
+        .select(explode(Dedup.distinctTokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      (dfT.count(), dfT.filter(col("df") <= 2).count(), dfT.agg(min("df")).head().getLong(0))
+    }
+    val (closedV, closedRare, closedMin) = vocabStats(params)
+    val (openV, openRare, openMin) = vocabStats(params.copy(openVocab = true))
+    // closed dictionary: bounded vocabulary, no rare tail
+    assert(closedV <= 2000 && closedRare == 0 && closedMin > 10)
+    // open mode: a large near-hapax tail exists (the Zipfian precondition
+    // rare-token techniques rely on)
+    assert(openV > closedV * 5, s"open vocab $openV vs closed $closedV")
+    assert(openRare > openV / 2, s"rare tail $openRare of $openV")
+    assert(openMin <= 2)
+    // dups still share their base page's rare tokens: near-dup pairs stay
+    // discoverable by rare-token candidates in open mode
+    val open = WebCorpus.pages(spark, params.copy(openVocab = true))
+      .select(col("page_id").as("doc_id"), col("text"))
+    val pairs = graft.textops.Similarity
+      .prefixCosinePairs(open.filter(col("doc_id") / 1000000L < 150),
+        "doc_id", "text", 0.9)
+    assert(pairs.count() > 0)
+  }
+
   private lazy val linkResult: (Linker.LinkResult, Long) = {
     val pages = WebCorpus.pages(spark, params)
       .withColumn("host", Blocking.host(col("url")))

@@ -464,12 +464,24 @@ object Similarity {
     * candidate join degenerates (measured: a 13 MB 80k-doc synthetic corpus
     * spilled > 80 GB at the join). 1.0 (default) = no cut.
     */
+  /** `broadcastVectors` switches the two per-pair verification joins from
+    * sort-merge to broadcast-hash on the per-doc vector table. The default
+    * (false) is the cluster-correct general shape — the wide vector column
+    * rides one shuffle whose spill bandwidth scales with executors × disks
+    * — but measured on ONE local disk the 8-thread level spill-thrashes
+    * (verify stage 157 s @8t vs 135 s @2t on 22.5 M candidates, 80k docs).
+    * When the vector table fits executor memory (row-scale: |docs| ×
+    * ~tokens·16 B — e.g. ~150 MB at 80k docs), broadcasting removes both
+    * candidate-side shuffles entirely: candidates stream through two
+    * broadcast joins + the codegen dot with zero wide exchange.
+    */
   def prefixCosinePairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxDfFraction: Double = 1.0): DataFrame = {
+      maxDfFraction: Double = 1.0,
+      broadcastVectors: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
@@ -497,8 +509,9 @@ object Similarity {
       .select(least(col("__pa"), col("__pb")).as("id_a"),
         greatest(col("__pa"), col("__pb")).as("id_b"))
       .distinct()
-    val ma = sides.select(col("__id").as("id_a"), col("__sw").as("__wa"))
-    val mb = sides.select(col("__id").as("id_b"), col("__sw").as("__wb"))
+    def side(df: DataFrame): DataFrame = if (broadcastVectors) broadcast(df) else df
+    val ma = side(sides.select(col("__id").as("id_a"), col("__sw").as("__wa")))
+    val mb = side(sides.select(col("__id").as("id_b"), col("__sw").as("__wb")))
     cand.join(ma, "id_a").join(mb, "id_b")
       .withColumn("cosine", round(
         graft.functions.GraftFunctions.sortedWeightedDot(col("__wa"), col("__wb")),

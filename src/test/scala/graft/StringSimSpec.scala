@@ -95,6 +95,26 @@ class StringSimSpec extends AnyFunSuite {
       StringSim.jaroWinkler(x, y, 0.1), 1e-12)
   }
 
+  test("bit-parallel fast paths == String paths across the 64-byte boundary") {
+    // the jaro bitmask path covers lengths 1..64 and the Myers levenshtein
+    // path covers min-length <= 64: exercise lengths straddling both
+    // boundaries with a small alphabet (forces matches + transpositions)
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    def s(len: Int): String =
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val lens = Seq(0, 1, 2, 31, 32, 33, 62, 63, 64, 65, 66, 100, 130)
+    for (l1 <- lens; l2 <- lens; _ <- 1 to 3) {
+      val a = s(l1)
+      val b = s(l2)
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      approx(StringSim.jaroUTF8(ua, ub), StringSim.jaro(a, b), 1e-12)
+      approx(StringSim.jaroWinklerUTF8(ua, ub, 0.1), StringSim.jaroWinkler(a, b, 0.1), 1e-12)
+      approx(StringSim.levenshteinSimUTF8(ua, ub), StringSim.levenshteinSim(a, b), 1e-12)
+    }
+  }
+
   test("dl <= osa <= lev distances") {
     forAllPairs(500) { (a: String, b: String) =>
       val lv = StringSim.levenshteinDist(a, b)

@@ -127,6 +127,28 @@ object TextKernels {
     s
   }
 
+  /** AllPairs prefix length over a DESC-weight-sorted unit vector
+    * `array<struct<t:string,u:double>>`: the shortest prefix whose remaining
+    * suffix has squared norm below `bound` — i.e.
+    * `min(n, |{i : sum_{j<=i} u_j^2 <= bound}| + 1)`, the exact count the
+    * previous interpreted form computed by materializing the cumulative
+    * array (`aggregate(...concat...)`, O(k^2) allocation per doc) and
+    * filtering it. One O(k) pass, same left-to-right double accumulation.
+    */
+  def prefixLength(ws: ArrayData, bound: Double): Int = {
+    val n = ws.numElements()
+    var cum = 0.0
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val u = ws.getStruct(i, 2).getDouble(1)
+      cum += u * u
+      if (cum <= bound) cnt += 1
+      i += 1
+    }
+    math.min(n, cnt + 1)
+  }
+
   /** IDF-weighted unit vector from a token array under a broadcast-style
     * vocabulary map — the projection form of the cosine index's query-side
     * weighting, usable where a groupBy is unavailable (streaming): weights

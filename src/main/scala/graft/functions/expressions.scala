@@ -248,6 +248,24 @@ case class SortedWeightedDot(left: Expression, right: Expression)
   override def prettyName: String = "sorted_weighted_dot"
 }
 
+/** AllPairs prefix length over a desc-weight-sorted unit vector — see
+  * [[TextKernels.prefixLength]]. No ImplicitCastInputTypes for the same
+  * reason as [[SortedWeightedDot]]: the caller builds the exact
+  * `array<struct<t,u>>` shape.
+  */
+case class PrefixLength(child: Expression, bound: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.prefixLength(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bound)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.prefixLength($c, ${bound}D)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "prefix_length"
+}
+
 /** Broadcast-vocabulary weighted unit vector — see
   * [[TextKernels.weightedUnitVector]]. The vocabulary map rides the codegen
   * references array (`addReferenceObj`, same pattern as
@@ -412,6 +430,9 @@ object GraftFunctions {
   /** `a`/`b` must already be token-sorted `array<struct<t:string,u:double>>`. */
   def sortedWeightedDot(a: Column, b: Column): Column =
     col(SortedWeightedDot(expressionOf(a), expressionOf(b)))
+  /** `ws` must be a desc-weight-sorted `array<struct<t:string,u:double>>`. */
+  def prefixLength(ws: Column, bound: Double): Column =
+    col(PrefixLength(expressionOf(ws), bound))
   /** `toks` must be a distinct-token `array<string>` column. */
   def weightedUnitVector(
       toks: Column,

@@ -436,15 +436,17 @@ object Similarity {
         transform(col("__ws"),
           e => struct(e("__t").as("t"), (e("__idf") / col("__nm")).as("u")))
           .as("__ws"))
-    val cums = aggregate(
-      col("__ws"), array().cast("array<double>"),
-      (acc, e) =>
-        concat(acc, array(
-          // try_element_at: ANSI mode throws on element_at(empty, -1)
-          coalesce(try_element_at(acc, lit(-1)), lit(0.0)) + e("u") * e("u"))))
-    val prefLen = least(size(col("__ws")),
-      size(filter(cums,
-        c => c <= lit(1.0 - threshold * threshold + 1e-9))) + lit(1))
+    // Prefixes are sized for an EFFECTIVE threshold t' = t - 5e-7, not t:
+    // pair membership is decided on round(cosine, 6) >= t, and a pair with
+    // raw cosine in [t - 5e-7, t) rounds UP into the result — the suffix
+    // bound must therefore guarantee candidacy down to t', or a boundary
+    // pair could qualify without being generated. Enlarging the bound only
+    // ever lengthens prefixes (more candidates, never a miss). The prefix
+    // count itself is one codegen O(k) pass (prefix_length) — the previous
+    // interpreted cumulative-array form allocated O(k^2) per doc.
+    val tEff = math.max(threshold - 5e-7, 0.0)
+    val bound = 1.0 - tEff * tEff + 1e-9
+    val prefLen = graft.functions.GraftFunctions.prefixLength(col("__ws"), bound)
     arr
       .withColumn("__toks", transform(col("__ws"), e => e("t")))
       .withColumn("__pref", slice(col("__toks"), lit(1), prefLen))
@@ -465,15 +467,25 @@ object Similarity {
     * spilled > 80 GB at the join). 1.0 (default) = no cut.
     */
   /** `broadcastVectors` switches the two per-pair verification joins from
-    * sort-merge to broadcast-hash on the per-doc vector table. The default
-    * (false) is the cluster-correct general shape — the wide vector column
-    * rides one shuffle whose spill bandwidth scales with executors × disks
-    * — but measured on ONE local disk the 8-thread level spill-thrashes
-    * (verify stage 157 s @8t vs 135 s @2t on 22.5 M candidates, 80k docs).
-    * When the vector table fits executor memory (row-scale: |docs| ×
-    * ~tokens·16 B — e.g. ~150 MB at 80k docs), broadcasting removes both
-    * candidate-side shuffles entirely: candidates stream through two
-    * broadcast joins + the codegen dot with zero wide exchange.
+    * sort-merge to broadcast-hash on the per-doc vector table.
+    * `Some(false)` is the cluster-correct general shape — the wide vector
+    * column rides one shuffle whose spill bandwidth scales with executors ×
+    * disks — but measured on ONE local disk the 8-thread level
+    * spill-thrashes (verify stage 157 s @8t vs 135 s @2t on 22.5 M
+    * candidates, 80k docs). When the vector table fits executor memory
+    * (row-scale: |docs| × ~tokens·16 B — e.g. ~150 MB at 80k docs),
+    * broadcasting removes both candidate-side shuffles entirely: candidates
+    * stream through two broadcast joins + the codegen dot with zero wide
+    * exchange.
+    *
+    * The default `None` COST-GATES the choice (the `Gamma.distinctRatio`
+    * pattern): the persisted vector table's entry count is measured by the
+    * same aggregate that materializes the cache (an action the candidate
+    * join would otherwise pay), its broadcast size is estimated at a
+    * conservative 64 B/entry + 48 B/row, and the broadcast path is taken
+    * iff the estimate fits `broadcastMaxBytes` (default 256 MB — modest
+    * against the 8 GB broadcast hard cap and typical multi-GB executor
+    * heaps; production clusters with bigger executors can raise it).
     */
   def prefixCosinePairs(
       docs: DataFrame,
@@ -481,7 +493,8 @@ object Similarity {
       textCol: String,
       threshold: Double,
       maxDfFraction: Double = 1.0,
-      broadcastVectors: Boolean = false): DataFrame = {
+      broadcastVectors: Option[Boolean] = None,
+      broadcastMaxBytes: Long = 256L << 20): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
@@ -502,6 +515,13 @@ object Similarity {
     // operator's working set; MEMORY_AND_DISK spills rather than OOMs.
     val sides = weightedSides(tok, dfT, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val doBroadcast = broadcastVectors.getOrElse {
+      // forces the cache (the candidate join pays this materialization
+      // anyway) and reads back the exact row/entry counts for the estimate
+      val row = sides.agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("__sw"))), lit(0L)).as("e")).head()
+      row.getLong(0) * 48L + row.getLong(1) * 64L <= broadcastMaxBytes
+    }
     val pref = sides.select(col("__id").as("__pa"), explode(col("__pref")).as("__t"))
     val full = sides.select(col("__id").as("__pb"), explode(col("__toks")).as("__t"))
     val cand = pref.join(full, "__t")
@@ -509,7 +529,7 @@ object Similarity {
       .select(least(col("__pa"), col("__pb")).as("id_a"),
         greatest(col("__pa"), col("__pb")).as("id_b"))
       .distinct()
-    def side(df: DataFrame): DataFrame = if (broadcastVectors) broadcast(df) else df
+    def side(df: DataFrame): DataFrame = if (doBroadcast) broadcast(df) else df
     val ma = side(sides.select(col("__id").as("id_a"), col("__sw").as("__wa")))
     val mb = side(sides.select(col("__id").as("id_b"), col("__sw").as("__wb")))
     cand.join(ma, "id_a").join(mb, "id_b")
@@ -578,8 +598,15 @@ object Similarity {
           log(lit(n.toDouble) / col("__df"))).otherwise(lit(0.0)))
     vocab.select(col("__t").as("token"), col("__df").as("df"), col("__idf").as("idf"))
       .write.mode("overwrite").parquet(s"$path/_graft_vocab")
-    val sides = weightedSides(tok,
-        vocab.filter(col("__idf") > 0).select("__t", "__idf"), threshold)
+    // weight the corpus from the JUST-WRITTEN vocabulary parquet, not the
+    // live `vocab` lineage: the lineage form re-ran the whole tokenize → df
+    // aggregate inside the vector-build job (shuffle reuse never crosses
+    // jobs), while the read-back is a token-scale scan of a file this job
+    // already paid to produce
+    val storedW = spark.read.parquet(s"$path/_graft_vocab")
+      .filter(col("idf") > 0)
+      .select(col("token").as("__t"), col("idf").as("__idf"))
+    val sides = weightedSides(tok, storedW, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // `pref` rides the vector row so a consumer holding a candidate pair
     // can dedupe it WITHOUT a stateful distinct (keep only the row whose
@@ -664,7 +691,17 @@ object Similarity {
       path: String): org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double]] = {
     val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double]()
-    spark.read.parquet(s"$path/_graft_vocab").select("token", "idf").collect()
+    // df-floor: hapax tokens (df = 1) carry idf = ln(N/1) = ln N — EXACTLY
+    // the deterministic OOV weight every probe applies to tokens absent
+    // from the map — so they are dropped from the collect with zero effect
+    // on any score. Open-vocabulary crawls are hapax-dominated, so this
+    // caps the driver collect at O(df >= 2 tokens) instead of O(vocab) (the
+    // one driver-side scaling hazard the r5 audit flagged). idf <= 0 rows
+    // ("seen but ubiquitous") must stay regardless of df: a probe has to
+    // SKIP them, not weight them ln N via the OOV rule.
+    spark.read.parquet(s"$path/_graft_vocab")
+      .filter(col("df") >= 2 || col("idf") <= 0.0)
+      .select("token", "idf").collect()
       .foreach { r =>
         m.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
           java.lang.Double.valueOf(r.getDouble(1)))
@@ -692,7 +729,11 @@ object Similarity {
     val tok = docTokens(queries, idCol, textCol)
     val qsides = weightedSides(tok, queryWeights(tok, vocab, n), threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidates: query FULL tokens vs stored PREFIX postings
+    // candidates: query FULL tokens vs stored PREFIX postings. Join
+    // strategy is left to AQE: the query batch is small by contract and
+    // converts to broadcast at runtime from real sizes; forcing it here
+    // measured SLOWER (each explicit BroadcastExchange is an extra eager
+    // job; AQE's conversion reuses the already-shuffled stats instead).
     val cand = qsides
       .select(col("__id").as("query_id"), explode(col("__toks")).as("token"))
       .join(spark.read.parquet(s"$path/postings"), "token")

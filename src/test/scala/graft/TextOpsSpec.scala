@@ -561,6 +561,43 @@ class TextOpsSpec extends SparkSpec {
       s"identical OOV-bearing doc must score 1.0 against its appended twin, got $hit")
   }
 
+  test("broadcastVocab df-floor: O(df>=2) map, weights identical to the full map") {
+    val dir = java.nio.file.Files.createTempDirectory("cosvocab").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val corpus = docs.limit(60)
+    Similarity.writeCosineIndex(corpus, "doc_id", "text", path, 0.6)
+    val vocabDf = spark.read.parquet(s"$path/_graft_vocab")
+    val flooredRows = vocabDf.filter(col("df") >= 2 || col("idf") <= 0.0).count()
+    val hapax = vocabDf.filter(col("df") === 1 && col("idf") > 0).count()
+    assert(hapax > 0, "corpus must carry hapax tokens for the floor to matter")
+    val bc = Similarity.broadcastVocab(spark, path)
+    assert(bc.value.size() == flooredRows,
+      s"collected map must be the df-floored vocabulary: ${bc.value.size()} vs $flooredRows")
+    // identity: a hapax token's stored idf is ln(N/1) = ln N = the OOV
+    // weight, so the floored map weights EVERY text identically to the full
+    // vocabulary map (hapax and never-seen tokens both take oovWeight)
+    val full = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Double]()
+    vocabDf.select("token", "idf").collect().foreach { r =>
+      full.put(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        java.lang.Double.valueOf(r.getDouble(1)))
+    }
+    val fullBc = spark.sparkContext.broadcast(full)
+    val n = corpus.count()
+    val oov = math.log(n.toDouble)
+    val probes = corpus.select(col("doc_id"), col("text"))
+      .union(Seq((1L, "zzqx unseen tokens beside the usual prose"))
+        .toDF("doc_id", "text"))
+    val diff = probes.select(
+        graft.functions.GraftFunctions.weightedUnitVector(
+          Dedup.distinctTokens(col("text")), bc, oov).as("a"),
+        graft.functions.GraftFunctions.weightedUnitVector(
+          Dedup.distinctTokens(col("text")), fullBc, oov).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0, "floored-map weights must equal full-map weights")
+  }
+
   test("token frequencies match a hand count") {
     val df = Seq((1L, "the cat and the dog"), (2L, "THE cat!")).toDF("doc_id", "text")
     val got = TextStats.tokenFrequencies(df, "doc_id", "text").collect()

@@ -115,13 +115,15 @@ object CorpusPipeline {
     */
   def annotate(docs: DataFrame, a: Args): DataFrame = {
     val id = col(a.idCol)
-    // exact dedup: keeper = min id per normalized text (one hash aggregate)
-    val keepers = docs
-      .select(id, md5(Dedup.normalizeText(col(a.textCol))).as("__h"))
-      .groupBy("__h").agg(min(id).as("__keeper"))
+    // exact dedup: keeper = min id per normalized text, as ONE window over
+    // the text hash (the aggregate + join-back form shuffled the text-
+    // bearing rows by __h AND re-scanned the input for the keeper table;
+    // the window shuffles the same rows once and both the survivor and
+    // loser branches below re-read that one exchange — ReusedExchange)
+    val keeperW = org.apache.spark.sql.expressions.Window.partitionBy("__h")
     val withKeeper = docs
       .withColumn("__h", md5(Dedup.normalizeText(col(a.textCol))))
-      .join(keepers, "__h")
+      .withColumn("__keeper", min(id).over(keeperW))
     // boilerplate line removal runs on the WHOLE corpus (duplicate docs
     // must not be double-counted as line evidence — losers are dropped
     // first, then lines are counted over the survivors)
@@ -129,9 +131,11 @@ object CorpusPipeline {
       .select(id, col(a.textCol))
     val cleaned = QualityFilters.dedupLines(
       survivors, a.idCol, a.textCol, minDupDocs = a.lineDupDocs)
+    // repetition signals ride the cleaned rows as a projection — the old
+    // repetitionStats(cleaned).join(cleaned) self-join re-evaluated the
+    // whole line-dedup lineage once per join side
     val baseSignals = QualityFilters
-      .repetitionStats(cleaned, a.idCol, "text_clean")
-      .join(cleaned, a.idCol)
+      .withRepetitionStats(cleaned, "text_clean")
       .withColumn("quality", TextStats.qualityScore(col("text_clean")))
       // byte-level repetition (deflate compressibility): a pure codegen
       // projection riding the same pass — always annotated, gated by
@@ -186,8 +190,20 @@ object CorpusPipeline {
       .when(col("dup_span_frac") > a.maxDupSpanFrac, "duplicated_spans")
       .when(col("deflate_ratio") < a.minDeflateRatio, "repetitive_compress")
       .when(col("quality") < a.minQuality, "low_quality")
-    withNearDup
-      .join(losers, Seq(a.idCol), "full_outer")
+    // survivors and losers partition the id space (one row per input id, a
+    // doc is either its group's keeper or not), so the old FULL OUTER join
+    // on id — two doc-scale exchanges + sorts whose sides can never match —
+    // is exactly a null-padded UNION of the two branches
+    val survivorSide = withNearDup.withColumn("exact_dup_of",
+      lit(null).cast(losers.schema("exact_dup_of").dataType))
+    val loserSide = losers.select(survivorSide.schema.map { f =>
+      f.name match {
+        case n if n == a.idCol => id
+        case "exact_dup_of"    => col("exact_dup_of")
+        case other             => lit(null).cast(f.dataType).as(other)
+      }
+    }: _*)
+    survivorSide.unionByName(loserSide)
       .withColumn("drop_reason", reason)
       .withColumn("text_out",
         when(col("drop_reason").isNotNull, lit(null).cast("string"))

@@ -81,21 +81,29 @@ object QualityFilters {
     * Output: (id, n_tokens, dup_token_frac, dup_5gram_frac,
     * top_bigram_frac) — one projection, zero shuffle.
     */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withArrays = docs
-      .select(col(idCol), tokenArray(col(textCol)).as("__toks"))
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withRepetitionStats(docs.select(col(idCol), col(textCol)), textCol)
+      .drop(textCol)
+
+  /** [[repetitionStats]] as APPENDED columns on the input rows — the shape a
+    * pipeline wants: computing the stats in place keeps the annotate pass a
+    * single projection instead of a doc-scale self-join of the cleaned
+    * table with its own stats (the join form re-evaluated the whole
+    * upstream line-dedup lineage once per side).
+    */
+  def withRepetitionStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__toks", tokenArray(col(textCol)))
       .withColumn("__bi", ngrams(col("__toks"), 2))
       .withColumn("__g5", ngrams(col("__toks"), 5))
-    withArrays.select(
-      col(idCol),
-      size(col("__toks")).as("n_tokens"),
-      round(dupFrac(col("__toks")), 6).as("dup_token_frac"),
-      round(dupFrac(col("__g5")), 6).as("dup_5gram_frac"),
-      round(
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("dup_token_frac", round(dupFrac(col("__toks")), 6))
+      .withColumn("dup_5gram_frac", round(dupFrac(col("__g5")), 6))
+      .withColumn("top_bigram_frac", round(
         when(size(col("__bi")) === 0, lit(0.0))
           .otherwise(modeCount(col("__bi")).cast("double") / size(col("__bi"))),
-        6).as("top_bigram_frac"))
-  }
+        6))
+      .drop("__toks", "__bi", "__g5")
 
   /** PII patterns — deliberately conservative, RE2-compatible (no
     * backreferences/lookaround) so any engine's regexp runs them

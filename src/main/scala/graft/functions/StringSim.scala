@@ -527,11 +527,27 @@ object StringSim {
   def damerauLevenshteinSimUTF8(a: UTF8String, b: UTF8String): Double = {
     if (a.equals(b)) return 1.0
     if (asciiOnly(a) && asciiOnly(b) && a.numBytes() <= DlCap && b.numBytes() <= DlCap) {
-      val len1 = a.numBytes()
-      val len2 = b.numBytes()
-      val maxLen = math.max(len1, len2)
+      val fullLen1 = a.numBytes()
+      val fullLen2 = b.numBytes()
+      val maxLen = math.max(fullLen1, fullLen2)
       if (maxLen == 0) return 1.0
-      if (len1 == 0 || len2 == 0) return 0.0
+      if (fullLen1 == 0 || fullLen2 == 0) return 0.0
+      // Common prefix/suffix trimming: an optimal DL alignment never edits
+      // inside a shared prefix or suffix, so the distance over the trimmed
+      // middles equals the full distance (parity-pinned against the
+      // untrimmed DP in StringSimSpec) while the O(n*m) matrix shrinks to
+      // the differing middle — decisive on id-style keys sharing long
+      // literal prefixes. Normalization still uses the FULL lengths.
+      val minLen = math.min(fullLen1, fullLen2)
+      var pre = 0
+      while (pre < minLen && a.getByte(pre) == b.getByte(pre)) pre += 1
+      var suf = 0
+      while (suf < minLen - pre &&
+        a.getByte(fullLen1 - 1 - suf) == b.getByte(fullLen2 - 1 - suf)) suf += 1
+      val len1 = fullLen1 - pre - suf
+      val len2 = fullLen2 - pre - suf
+      if (len1 == 0 || len2 == 0)
+        return 1.0 - math.max(len1, len2).toDouble / maxLen
       val stride = len2 + 2
       val d = dlMatrix.get()
       val lastRow = dlLastRow.get()
@@ -544,13 +560,13 @@ object StringSim {
       while (j <= len2) { d(stride + j + 1) = j; d(j + 1) = inf; j += 1 }
       i = 1
       while (i <= len1) {
-        val c1 = a.getByte(i - 1)
+        val c1 = a.getByte(pre + i - 1)
         var lastMatchCol = 0
         val rowPrev = i * stride
         val rowCur = (i + 1) * stride
         j = 1
         while (j <= len2) {
-          val c2 = b.getByte(j - 1)
+          val c2 = b.getByte(pre + j - 1)
           val last = lastRow(c2)
           val cost = if (c1 == c2) 0 else 1
           val sub = d(rowPrev + j) + cost

@@ -124,6 +124,30 @@ object ConnectedComponents {
       out
     }
 
+    val cap = math.min(localMaxEdges, Int.MaxValue.toLong)
+    // RAW-count fast path: when even the un-deduplicated edge list fits the
+    // local cutoff, collect it directly — union-find is insensitive to
+    // duplicate edges and orientation, so the normalize/distinct shuffle,
+    // the localCheckpoint materialization and the per-partition iterator
+    // jobs (5+ jobs, 2 shuffles) collapse to TWO shuffle-free jobs (a
+    // map-side count + one collect). Self-loops are dropped driver-side —
+    // same node universe as the distinct path. Larger inputs fall through
+    // to the dedup below, which may still land in the local path after the
+    // distinct shrinks them.
+    val raw = edges.toDF("u", "v").filter($"u" =!= $"v")
+    val rawN = raw.count()
+    if (rawN <= cap) {
+      val n = rawN.toInt
+      val us = new Array[Long](n)
+      val vs = new Array[Long](n)
+      val it = raw.toLocalIterator()
+      var i = 0
+      while (it.hasNext) { val r = it.next(); us(i) = r.getLong(0); vs(i) = r.getLong(1); i += 1 }
+      val (nodes, comp) = unionFindLocal(us, vs)
+      return spark.createDataset(nodes.indices.map(k => (nodes(k), comp(k))))
+        .toDF("node", "component")
+    }
+
     // normalize: undirected, no self-loops, as (u, v)
     var e = checkpoint(
       edges.toDF("u", "v")

@@ -30,6 +30,30 @@ object Dedup {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Spreads a NARROW-scan input across tasks before expensive per-row
+    * derivation (tokenize / shingle / hash): a small local corpus arrives
+    * as one or two scan partitions, so without this every normalize+shingle
+    * projection fused above the first exchange runs on ONE task while the
+    * rest of the machine idles. No-op when the plan already carries enough
+    * partitions (a real at-scale scan) or is streaming (repartition of an
+    * unbounded source has different semantics; micro-batches are small
+    * anyway). Hash-partitioning by the id column, so downstream id-keyed
+    * exchanges can reuse it.
+    */
+  private[graft] def spreadIfNarrow(df: DataFrame, keyCol: String): DataFrame = {
+    if (df.isStreaming) return df
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // File count proxies scan parallelism WITHOUT physical planning (.rdd
+    // forces a full QueryExecution per call — measured ~0.1-0.2 s each on
+    // the span paths). Non-file sources (generated ranges, memory) report
+    // zero files and spread — matching the unconditional repartition the
+    // generated-corpus paths always had. A many-file at-scale scan skips
+    // the exchange entirely.
+    val nFiles = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (nFiles >= math.max(2, par / 2)) df
+    else df.repartition(par, col(keyCol))
+  }
+
   /** Exact duplicates by md5 of normalized text: returns
     * (text_hash, n_docs, keeper_id) per duplicate group (n_docs > 1).
     * One shuffle (hash agg); at 100 TB this is the cheapest dedup pass and
@@ -112,12 +136,17 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** (outId, __sh) — one row per distinct normalized shingle per doc. */
+  /** (outId, __sh) — one row per distinct normalized shingle per doc. The
+    * raw (id, text) rows are spread BEFORE the normalize+shingle+explode
+    * projection so the derivation parallelizes even off a one-partition
+    * local scan ([[spreadIfNarrow]]).
+    */
   private def shingleSide(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, outId: String): DataFrame = df.select(
-    col(idCol).as(outId),
-    explode(normalizedShingles(col(textCol), shingleSize)).as("__sh"))
+      shingleSize: Int, outId: String): DataFrame =
+    spreadIfNarrow(df.select(col(idCol).as(outId), col(textCol)), outId)
+      .select(col(outId),
+        explode(normalizedShingles(col(textCol), shingleSize)).as("__sh"))
 
   /** [[contaminationPairs]] with a broadcast-Bloom gate on the train side —
     * bit-identical OUTPUT (Bloom filters have no false negatives, and false
@@ -209,13 +238,18 @@ object Dedup {
   private[graft] def shingleTable(
       docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val toks = docs
-      .select(col(idCol).as("__id"),
-        split(normalizeText(col(textCol)), " ").as("__toks"))
-      .repartition(par, col("__id"))
-    toks
+    // spread the RAW text first (cheap bytes through the exchange), so the
+    // whole tokenize -> shingle -> distinct derivation runs parallel even
+    // off a one-partition local scan; the old form evaluated the split on
+    // the scan task and shipped token arrays. The second exchange is the
+    // materialization point downstream consumers reuse (ReusedExchange)
+    // instead of re-deriving arrays from text.
+    val spread = spreadIfNarrow(
+      docs.select(col(idCol).as("__id"), col(textCol)), "__id")
+    spread
       .select(col("__id"),
-        array_distinct(Blocking.shinglesFromTokens(col("__toks"), shingleSize)).as("__sh"))
+        array_distinct(Blocking.shinglesFromTokens(
+          split(normalizeText(col(textCol)), " "), shingleSize)).as("__sh"))
       .repartition(par, col("__id"))
   }
 

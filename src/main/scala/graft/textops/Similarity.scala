@@ -405,10 +405,13 @@ object Similarity {
     * for near-dup thresholds (>= ~0.5): as t -> 0 prefixes approach the
     * whole document and the join degrades toward all-pairs-sharing-a-token.
     */
-  /** (__id, __t) distinct normalized tokens per doc, empty tokens dropped. */
+  /** (__id, __t) distinct normalized tokens per doc, empty tokens dropped.
+    * Raw text is spread before the tokenize+explode projection so the
+    * derivation parallelizes off a one-partition local scan.
+    */
   private def docTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("__id"),
-        explode(Dedup.distinctTokens(col(textCol))).as("__t"))
+    Dedup.spreadIfNarrow(docs.select(col(idCol).as("__id"), col(textCol)), "__id")
+      .select(col("__id"), explode(Dedup.distinctTokens(col(textCol))).as("__t"))
       .filter(col("__t") =!= "")
 
   /** Per-doc unit vectors from a (__id, __t) token table and a positive

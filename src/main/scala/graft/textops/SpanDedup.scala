@@ -48,6 +48,10 @@ object SpanDedup {
   private def positionalShingles(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"span window size must be >= 2 tokens, got $k")
+    // NOT spread (Dedup.spreadIfNarrow): the window-hash kernel is cheap
+    // enough that the extra raw-text exchange measured net-negative here
+    // (q_span_dedup 0.89 -> 1.23 s with the spread) — the positional
+    // stream's own shuffle right after is the parallelization point
     docs
       .select(col(idCol).as("doc_id"), normTokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k)

@@ -115,6 +115,34 @@ class StringSimSpec extends AnyFunSuite {
     }
   }
 
+  test("DL prefix/suffix trimming == untrimmed DP (transposition-heavy alphabet)") {
+    // tiny alphabets maximize shared prefixes/suffixes AND transpositions —
+    // the regime where a trim bug would surface; the String path is the
+    // untrimmed oracle
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(11)
+    for (alpha <- Seq(2, 3, 4); _ <- 1 to 2000) {
+      def s(): String = {
+        val len = rnd.nextInt(16)
+        (0 until len).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+      }
+      val (a, b) = (s(), s())
+      approx(
+        StringSim.damerauLevenshteinSimUTF8(
+          UTF8String.fromString(a), UTF8String.fromString(b)),
+        StringSim.damerauLevenshteinSim(a, b), 1e-12)
+    }
+    // long shared prefix + transposition at the boundary
+    val p = "Customer#000000"
+    for ((x, y) <- Seq((p + "12", p + "21"), (p + "a", p), (p, p + "ab"),
+        (p + "ab" + p, p + "ba" + p))) {
+      approx(
+        StringSim.damerauLevenshteinSimUTF8(
+          UTF8String.fromString(x), UTF8String.fromString(y)),
+        StringSim.damerauLevenshteinSim(x, y), 1e-12)
+    }
+  }
+
   test("dl <= osa <= lev distances") {
     forAllPairs(500) { (a: String, b: String) =>
       val lv = StringSim.levenshteinDist(a, b)

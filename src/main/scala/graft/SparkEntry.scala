@@ -586,7 +586,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_lang_dist" -> ((s, dir) => {
-      t(s, dir, "documents")
+      // spread before the langId projection: the stopword-counting
+      // expression otherwise evaluates on the scan's single local partition
+      // (map-side agg input); grouping/counts are unchanged
+      Dedup.spreadIfNarrow(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "doc_id")
         .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")

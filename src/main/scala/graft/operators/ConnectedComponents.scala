@@ -124,25 +124,26 @@ object ConnectedComponents {
       out
     }
 
-    val cap = math.min(localMaxEdges, Int.MaxValue.toLong)
-    // RAW-count fast path: when even the un-deduplicated edge list fits the
-    // local cutoff, collect it directly — union-find is insensitive to
+    val cap = math.min(localMaxEdges, Int.MaxValue.toLong - 1).toInt
+    // RAW fast path: when even the un-deduplicated edge list fits the local
+    // cutoff, take it in ONE bounded pass — union-find is insensitive to
     // duplicate edges and orientation, so the normalize/distinct shuffle,
-    // the localCheckpoint materialization and the per-partition iterator
-    // jobs (5+ jobs, 2 shuffles) collapse to TWO shuffle-free jobs (a
-    // map-side count + one collect). Self-loops are dropped driver-side —
-    // same node universe as the distinct path. Larger inputs fall through
-    // to the dedup below, which may still land in the local path after the
-    // distinct shrinks them.
+    // the localCheckpoint materialization and the count job all disappear.
+    // `limit(cap+1)` makes the probe self-gating: under the cap it returns
+    // EVERY row in a single lineage pass (executeTake walks the partitions
+    // in geometric batches); cap+1 rows back means "too big" and the code
+    // falls through to the dedup below, which may still land in the local
+    // path after distinct shrinks the graph. Self-loops are dropped in the
+    // filter — same node universe as the distinct path. Driver footprint is
+    // the transient boxed batch (bounded by the cap) + two long arrays.
     val raw = edges.toDF("u", "v").filter($"u" =!= $"v")
-    val rawN = raw.count()
-    if (rawN <= cap) {
-      val n = rawN.toInt
+    val taken = raw.limit(cap + 1).collect()
+    if (taken.length <= cap) {
+      val n = taken.length
       val us = new Array[Long](n)
       val vs = new Array[Long](n)
-      val it = raw.toLocalIterator()
       var i = 0
-      while (it.hasNext) { val r = it.next(); us(i) = r.getLong(0); vs(i) = r.getLong(1); i += 1 }
+      while (i < n) { us(i) = taken(i).getLong(0); vs(i) = taken(i).getLong(1); i += 1 }
       val (nodes, comp) = unionFindLocal(us, vs)
       return spark.createDataset(nodes.indices.map(k => (nodes(k), comp(k))))
         .toDF("node", "component")

@@ -197,8 +197,9 @@ object QualityFilters {
       textCol: String,
       vocab: DataFrame): DataFrame = {
     val total = vocab.agg(sum(col("n_occurrences")).as("__total"))
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(tokenArray(col(textCol))).as("token"))
+    val toks = Dedup
+      .spreadIfNarrow(docs.select(col(idCol).as("__id"), col(textCol)), "__id")
+      .select(col("__id"), explode(tokenArray(col(textCol))).as("token"))
     toks
       .join(vocab.select(col("token"), col("n_occurrences")),
         Seq("token"), "left")

@@ -124,6 +124,11 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryRelation".r
       .findAllIn(df.queryExecution.withCachedData.toString).length == 4,
       "all four consumers must read the persisted vector table:\n" + plan)
+    // the cost gate must have flipped the verify joins to broadcast-hash
+    // here (tiny vector table well under broadcastMaxBytes) — the r5 weak
+    // point was the sort-merge verify path staying on by default
+    assert(plan.contains("BroadcastHashJoin"),
+      "auto broadcastVectors gate did not fire on a tiny vector table:\n" + plan)
   }
 
   test("IVF cell assignment is a shuffle-free projection (no Exchange between scan and cell)") {

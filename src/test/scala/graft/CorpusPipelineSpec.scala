@@ -159,6 +159,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(off(22L) == null && off(23L) == null)
   }
 
+  test("near-dup stage fails fast on a non-numeric id column") {
+    // clustering casts ids to long; a string id would cast to null and the
+    // stage would silently drop zero docs — the guard must throw instead
+    val strIds = Seq(("a", "some text here"), ("b", "other text here"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.annotate(strIds, args.copy(nearDupJaccard = 0.8))
+    }
+    assert(e.getMessage.contains("numeric id column"), e.getMessage)
+    // off: string ids stay fine (no clustering involved)
+    CorpusPipeline.annotate(strIds, args).count()
+  }
+
   test("arg parser: defaults, overrides, and fail-fast on typos") {
     val a = CorpusPipeline.parseArgs(Seq(
       "--input", "i.parquet", "--out", "o.parquet",
